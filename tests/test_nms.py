@@ -1,0 +1,100 @@
+"""Rotated IoU + greedy NMS tests vs O(N²) numpy references (SURVEY.md §4)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from unidistill_tpu.ops.nms import nms_bev, rotated_iou_bev, rotated_intersection_area
+
+
+def _mc_intersection(a, b, n=400):
+    """Monte-Carlo intersection area of two rotated rects."""
+    xs = np.concatenate([_corners(a)[:, 0], _corners(b)[:, 0]])
+    ys = np.concatenate([_corners(a)[:, 1], _corners(b)[:, 1]])
+    x0, x1, y0, y1 = xs.min(), xs.max(), ys.min(), ys.max()
+    gx, gy = np.meshgrid(
+        np.linspace(x0, x1, n), np.linspace(y0, y1, n), indexing="ij"
+    )
+    pts = np.stack([gx.ravel(), gy.ravel()], -1)
+    inside = _in_rect(pts, a) & _in_rect(pts, b)
+    cell = (x1 - x0) * (y1 - y0) / (n * n)
+    return inside.sum() * cell
+
+
+def _corners(box):
+    cx, cy, dx, dy, r = box
+    c, s = np.cos(r), np.sin(r)
+    local = np.array(
+        [[dx / 2, dy / 2], [-dx / 2, dy / 2], [-dx / 2, -dy / 2], [dx / 2, -dy / 2]]
+    )
+    rot = np.array([[c, -s], [s, c]])
+    return local @ rot.T + np.array([cx, cy])
+
+
+def _in_rect(pts, box):
+    cx, cy, dx, dy, r = box
+    c, s = np.cos(r), np.sin(r)
+    px = (pts[:, 0] - cx) * c + (pts[:, 1] - cy) * s
+    py = -(pts[:, 0] - cx) * s + (pts[:, 1] - cy) * c
+    return (np.abs(px) <= dx / 2) & (np.abs(py) <= dy / 2)
+
+
+def test_axis_aligned_iou_exact():
+    a = jnp.array([[0.0, 0.0, 2.0, 2.0, 0.0]])
+    b = jnp.array([[1.0, 0.0, 2.0, 2.0, 0.0], [5.0, 5.0, 2.0, 2.0, 0.0],
+                   [0.0, 0.0, 2.0, 2.0, 0.0]])
+    iou = np.asarray(rotated_iou_bev(a, b))[0]
+    np.testing.assert_allclose(iou, [2.0 / 6.0, 0.0, 1.0], atol=1e-5)
+
+
+def test_rotated_identical_45deg():
+    a = jnp.array([[0.0, 0.0, 2.0, 4.0, np.pi / 4]])
+    iou = np.asarray(rotated_iou_bev(a, a))[0, 0]
+    np.testing.assert_allclose(iou, 1.0, atol=1e-4)
+
+
+def test_rotated_intersection_vs_monte_carlo():
+    rng = np.random.RandomState(7)
+    boxes_a = np.stack(
+        [rng.uniform(-2, 2, 20), rng.uniform(-2, 2, 20),
+         rng.uniform(1, 4, 20), rng.uniform(1, 4, 20),
+         rng.uniform(-np.pi, np.pi, 20)], -1).astype(np.float32)
+    boxes_b = np.stack(
+        [rng.uniform(-2, 2, 20), rng.uniform(-2, 2, 20),
+         rng.uniform(1, 4, 20), rng.uniform(1, 4, 20),
+         rng.uniform(-np.pi, np.pi, 20)], -1).astype(np.float32)
+    inter = np.asarray(
+        rotated_intersection_area(jnp.asarray(boxes_a), jnp.asarray(boxes_b))
+    )
+    for i in range(20):
+        ref = _mc_intersection(boxes_a[i], boxes_b[i])
+        assert abs(inter[i] - ref) < 0.12, (i, inter[i], ref)
+
+
+def test_greedy_nms_matches_numpy():
+    rng = np.random.RandomState(8)
+    K = 64
+    boxes7 = np.zeros((K, 7), np.float32)
+    boxes7[:, 0:2] = rng.uniform(-10, 10, (K, 2))
+    boxes7[:, 3:5] = rng.uniform(2, 5, (K, 2))
+    boxes7[:, 6] = rng.uniform(-np.pi, np.pi, K)
+    scores = np.sort(rng.uniform(0, 1, K))[::-1].copy()
+    valid = np.ones(K, bool)
+    valid[-5:] = False
+    thr = 0.2
+
+    keep_idx, keep_mask = nms_bev(
+        jnp.asarray(boxes7), jnp.asarray(scores), jnp.asarray(valid), thr, 20
+    )
+    ours = list(np.asarray(keep_idx)[np.asarray(keep_mask)])
+
+    bev = boxes7[:, [0, 1, 3, 4, 6]]
+    iou = np.asarray(rotated_iou_bev(jnp.asarray(bev), jnp.asarray(bev)))
+    alive = valid.copy()
+    ref = []
+    for i in range(K):
+        if alive[i]:
+            ref.append(i)
+            alive &= ~((iou[i] > thr) & valid)
+            alive[i] = False
+    ref = ref[:20]
+    assert ours == ref

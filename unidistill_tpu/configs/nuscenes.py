@@ -1,0 +1,349 @@
+"""nuScenes BEV-detection configuration.
+
+TPU-native re-design of the reference config constants
+(ref: unidistill/exps/multisensor_fusion/nuscenes/_base_/base_nuscenes_cfg.py:1-283).
+The reference keeps mutable dicts that each experiment file edits in place; here
+everything is an immutable, hashable dataclass so configs can be closed over by
+`jax.jit` as static arguments and overridden functionally (`dataclasses.replace`).
+
+All *semantic* constants (point-cloud range, voxel size, grid, image dims,
+out-size-factor, task split, loss weights, NMS thresholds) match the reference
+values exactly; shape caps (max points / voxels / gts) are new — the TPU build
+uses fixed shapes everywhere instead of ragged tensors.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+# ref base_nuscenes_cfg.py:1-5
+POINT_CLOUD_RANGE = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+VOXEL_SIZE = (0.075, 0.075, 0.2)
+GRID_SIZE = (1440, 1440, 40)
+IMG_DIM = (256, 704)
+OUT_SIZE_FACTOR = 8
+
+# ref base_nuscenes_cfg.py:15-26
+CLASS_NAMES = (
+    "car",
+    "truck",
+    "construction_vehicle",
+    "bus",
+    "trailer",
+    "barrier",
+    "motorcycle",
+    "bicycle",
+    "pedestrian",
+    "traffic_cone",
+)
+
+# ref base_nuscenes_cfg.py:212-219 (_DENSE_TASKS): 6 CenterPoint task groups.
+TASKS: Tuple[Tuple[str, ...], ...] = (
+    ("car",),
+    ("truck", "construction_vehicle"),
+    ("bus", "trailer"),
+    ("barrier",),
+    ("motorcycle", "bicycle"),
+    ("pedestrian", "traffic_cone"),
+)
+
+# class name -> 1-based label id (ref base_nuscenes_cfg.py:231)
+CLASS_TO_IDX = {name: i + 1 for i, name in enumerate(CLASS_NAMES)}
+
+
+@dataclass(frozen=True)
+class ShapeCaps:
+    """Fixed-shape caps for the TPU build (new vs reference; the reference uses
+    ragged tensors + CUDA dynamic allocation)."""
+
+    max_points: int = 262144  # key frame + 10 sweeps, padded
+    max_voxels_train: int = 120000  # ref base_nuscenes_cfg.py:112
+    max_voxels_eval: int = 160000
+    max_points_per_voxel: int = 10  # ref base_nuscenes_cfg.py:111
+    max_gt_boxes: int = 128  # per-frame GT cap (collate pads to this)
+
+
+@dataclass(frozen=True)
+class LidarEncoderConfig:
+    """ref MODEL_CFG['lidar_encoder'] (base_nuscenes_cfg.py:107-116)."""
+
+    point_cloud_range: Tuple[float, ...] = POINT_CLOUD_RANGE
+    voxel_size: Tuple[float, ...] = VOXEL_SIZE
+    grid_size: Tuple[int, ...] = GRID_SIZE
+    max_num_points: int = 10
+    src_num_point_features: int = 5
+    use_num_point_features: int = 5
+    map_to_bev_num_features: int = 256
+    # Per-stage active-voxel caps for the gather-GEMM sparse encoder (TPU-only).
+    # Stage strides: 1, 2, 4, 8, and the final (2,1,1)-z downsample.
+    stage_voxel_caps: Tuple[int, ...] = (131072, 98304, 65536, 32768, 32768)
+
+
+@dataclass(frozen=True)
+class CameraEncoderConfig:
+    """ref MODEL_CFG['camera_encoder'] (base_nuscenes_cfg.py:117-165) with the
+    CenterHead exp overrides (ResNet-50 backbone, BEVFusion_nuscenes_centerhead_fusion_exp.py:24-41)."""
+
+    x_bound: Tuple[float, float, float] = (-54.0, 54.0, 0.6)
+    y_bound: Tuple[float, float, float] = (-54.0, 54.0, 0.6)
+    z_bound: Tuple[float, float, float] = (-5.0, 3.0, 8.0)
+    d_bound: Tuple[float, float, float] = (2.0, 58.0, 0.5)
+    final_dim: Tuple[int, int] = IMG_DIM
+    output_channels: int = 256
+    downsample_factor: int = 16
+    num_cams: int = 6
+    # ResNet-50 + SECONDFPN (the active exps); 'swin' reserved for the base cfg variant
+    img_backbone: str = "resnet50"
+    img_neck_in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    img_neck_upsample_strides: Tuple[float, ...] = (0.25, 0.5, 1, 2)
+    img_neck_out_channels: Tuple[int, ...] = (128, 128, 128, 128)
+    depth_net_in_channels: int = 512
+    depth_net_mid_channels: int = 512
+
+    @property
+    def depth_channels(self) -> int:
+        lo, hi, step = self.d_bound
+        return int((hi - lo) / step)  # 112
+
+    @property
+    def feat_hw(self) -> Tuple[int, int]:
+        return (
+            self.final_dim[0] // self.downsample_factor,
+            self.final_dim[1] // self.downsample_factor,
+        )  # (16, 44)
+
+    @property
+    def bev_hw(self) -> Tuple[int, int]:
+        nx = round((self.x_bound[1] - self.x_bound[0]) / self.x_bound[2])
+        ny = round((self.y_bound[1] - self.y_bound[0]) / self.y_bound[2])
+        return (ny, nx)  # (180, 180)
+
+
+@dataclass(frozen=True)
+class BevEncoderConfig:
+    """ref MODEL_CFG['bev_encoder'] (base_nuscenes_cfg.py:166-174)."""
+
+    layer_nums: Tuple[int, ...] = (5, 5)
+    layer_strides: Tuple[int, ...] = (1, 2)
+    num_filters: Tuple[int, ...] = (128, 256)
+    upsample_strides: Tuple[int, ...] = (1, 2)
+    num_upsample_filters: Tuple[int, ...] = (256, 256)
+    num_bev_features: int = 256  # input channels (sparse-conv output)
+
+
+@dataclass(frozen=True)
+class AssignerConfig:
+    """ref CENTERPOINT_DET_HEAD_CFG['target_assigner'] (base_nuscenes_cfg.py:224-238)."""
+
+    out_size_factor: int = OUT_SIZE_FACTOR
+    dense_reg: int = 1
+    gaussian_overlap: float = 0.1
+    max_objs: int = 2500
+    min_radius: int = 2
+    topk: int = 9
+    with_velocity: bool = True
+    # TPU fixed-shape cap on positives per (frame, task): <= topk * max_gt.
+    max_pos: int = 1024
+
+
+@dataclass(frozen=True)
+class ProposalConfig:
+    """ref CENTERPOINT_DET_HEAD_CFG['proposal_layer'] (base_nuscenes_cfg.py:239-255)."""
+
+    post_center_limit_range: Tuple[float, ...] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    score_threshold: float = 0.1
+    iou_aware_alpha: Tuple[float, ...] = (0.65,) * 10
+    nms_iou_threshold_train: float = 0.8
+    nms_pre_max_size_train: int = 1500
+    nms_post_max_size_train: int = 80
+    nms_iou_threshold_test: float = 0.1
+    nms_pre_max_size_test: int = 1500
+    nms_post_max_size_test: int = 100
+
+
+@dataclass(frozen=True)
+class DetHeadConfig:
+    """ref CENTERPOINT_DET_HEAD_CFG['dense_head'] (base_nuscenes_cfg.py:256-280)."""
+
+    input_channels: int = 512
+    share_conv_channel: int = 64
+    init_bias: float = -2.19
+    code_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2)
+    loc_weight: float = 0.25
+    iou_weight: float = 5.0
+    # common heads: name -> (out_channels, num_conv); ref base_nuscenes_cfg.py:267-276
+    common_heads: Tuple[Tuple[str, Tuple[int, int]], ...] = (
+        ("iou", (1, 2)),
+        ("reg", (2, 2)),
+        ("height", (1, 2)),
+        ("dim", (3, 2)),
+        ("rot", (2, 2)),
+        ("vel", (2, 2)),
+    )
+    focal_alpha: float = 0.25  # ref base_nuscenes_cfg.py:281
+    focal_gamma: float = 2.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    class_names: Tuple[str, ...] = CLASS_NAMES
+    tasks: Tuple[Tuple[str, ...], ...] = TASKS
+    point_cloud_range: Tuple[float, ...] = POINT_CLOUD_RANGE
+    voxel_size: Tuple[float, ...] = VOXEL_SIZE
+    grid_size: Tuple[int, ...] = GRID_SIZE
+    out_size_factor: int = OUT_SIZE_FACTOR
+    with_lidar: bool = True
+    with_camera: bool = True
+    lidar_encoder: LidarEncoderConfig = field(default_factory=LidarEncoderConfig)
+    camera_encoder: CameraEncoderConfig = field(default_factory=CameraEncoderConfig)
+    bev_encoder: BevEncoderConfig = field(default_factory=BevEncoderConfig)
+    assigner: AssignerConfig = field(default_factory=AssignerConfig)
+    proposal: ProposalConfig = field(default_factory=ProposalConfig)
+    det_head: DetHeadConfig = field(default_factory=DetHeadConfig)
+    caps: ShapeCaps = field(default_factory=ShapeCaps)
+    # numerics (TPU): bf16 activations in conv stacks, fp32 losses/BN stats
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def feature_map_size(self) -> Tuple[int, int]:
+        return (
+            self.grid_size[0] // self.out_size_factor,
+            self.grid_size[1] // self.out_size_factor,
+        )  # (180, 180)
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    """Cross-modality distillation weights.
+
+    ref weight matrix (…camera_exp_distill_lidar.py:506-511 and siblings, see
+    SURVEY.md §2.3): total = det + w_feat·feature + w_rel·bev_rel + w_resp·(cls+reg).
+    `teacher_hm_temp`/`teacher_hm_clamp`: the teacher heatmap is sigmoid(hm/temp)
+    with the student's heatmap already sigmoided+clamped by its own get_loss.
+    """
+
+    teacher: str = "lidar"  # lidar | camera | fusion
+    student: str = "camera"
+    w_feature: float = 100.0
+    w_rel: float = 40.0
+    w_resp: float = 10.0
+    teacher_hm_temp: float = 2.0
+    teacher_hm_clamp: float = 1e-4
+
+
+# (teacher, student) -> DistillConfig, ref SURVEY.md §2.3 table
+DISTILL_VARIANTS: Dict[Tuple[str, str], DistillConfig] = {
+    ("lidar", "camera"): DistillConfig("lidar", "camera", 100.0, 40.0, 10.0, 2.0, 1e-4),
+    ("fusion", "camera"): DistillConfig("fusion", "camera", 10.0, 5.0, 10.0, 2.0, 1e-3),
+    ("camera", "lidar"): DistillConfig("camera", "lidar", 10.0, 5.0, 1.0, 2.0, 1e-4),
+    ("fusion", "lidar"): DistillConfig("fusion", "lidar", 10.0, 1.0, 10.0, 2.0, 1e-4),
+}
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """ref DATA_CFG (base_nuscenes_cfg.py:86-103) + aug cfg (:28-84)."""
+
+    root_path: str = "/data/dataset"
+    num_lidar_sweeps: int = 10
+    num_cam_sweeps: int = 0
+    lidar_with_timestamp: bool = True
+    use_cbgs: bool = True
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    to_rgb: bool = True
+    # IDA (image data augmentation), ref base_nuscenes_cfg.py:33-41
+    ida_resize_lim: Tuple[float, float] = (0.386, 0.55)
+    ida_rot_lim: Tuple[float, float] = (-5.4, 5.4)
+    ida_rand_flip: bool = True
+    ida_bot_pct_lim: Tuple[float, float] = (0.0, 0.0)
+    src_h: int = 900
+    src_w: int = 1600
+    # BDA (bev data augmentation), ref base_nuscenes_cfg.py:42-48
+    bda_rot_lim: Tuple[float, float] = (-45.0, 45.0)
+    bda_scale_lim: Tuple[float, float] = (0.90, 1.10)
+    bda_trans_lim: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    bda_flip_dx_ratio: float = 0.5
+    bda_flip_dy_ratio: float = 0.5
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """ref Exp defaults (BEVFusion_nuscenes_base_exp.py:286-295,436-441; base_cli.py:40-45)."""
+
+    batch_size_per_device: int = 4
+    max_epochs: int = 20
+    lr: float = 1e-3  # 2e-4 for camera-only & distill exps
+    weight_decay: float = 1e-7
+    lr_milestones: Tuple[int, ...] = (10, 15)
+    lr_gamma: float = 0.1
+    grad_clip_value: float = 0.1
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ExpConfig:
+    exp_name: str = "bevfusion_nuscenes"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    distill: Optional[DistillConfig] = None
+
+
+def _replace_nested(cfg: Any, path: str, value: Any) -> Any:
+    """Functionally set `a.b.c` on nested frozen dataclasses."""
+    head, _, rest = path.partition(".")
+    if not rest:
+        cur = getattr(cfg, head)
+        if cur is not None and not isinstance(cur, (dict, type(None))):
+            ftype = type(cur)
+            if ftype in (int, float, bool, str) and not isinstance(value, ftype):
+                value = ftype(value) if ftype is not bool else value in (True, "True", "true", 1)
+            elif isinstance(cur, tuple) and not isinstance(value, tuple):
+                value = tuple(value)
+        return dataclasses.replace(cfg, **{head: value})
+    return dataclasses.replace(
+        cfg, **{head: _replace_nested(getattr(cfg, head), rest, value)}
+    )
+
+
+def apply_overrides(cfg: ExpConfig, overrides: Dict[str, Any]) -> ExpConfig:
+    """Apply `--exp_options k.l=v` overrides (ref DictAction, utils/__init__.py:4-93)."""
+    for k, v in overrides.items():
+        cfg = _replace_nested(cfg, k, v)
+    return cfg
+
+
+def lidar_exp() -> ExpConfig:
+    """ref …centerhead_lidar_exp.py:7-35 (drops camera encoder)."""
+    return ExpConfig(
+        exp_name="BEVFusion_nuscenes_centerhead_lidar_exp",
+        model=ModelConfig(with_camera=False),
+    )
+
+
+def camera_exp() -> ExpConfig:
+    """ref …centerhead_camera_exp.py:7-37 (drops lidar encoder; lr 2e-4)."""
+    return ExpConfig(
+        exp_name="BEVFusion_nuscenes_centerhead_camera_exp",
+        model=ModelConfig(with_lidar=False),
+        train=TrainConfig(lr=2e-4),
+    )
+
+
+def fusion_exp() -> ExpConfig:
+    """ref …centerhead_fusion_exp.py:177-207."""
+    return ExpConfig(exp_name="BEVFusion_nuscenes_centerhead_fusion_exp")
+
+
+def distill_exp(teacher: str, student: str) -> ExpConfig:
+    """ref the 4 distill exp files (…camera_exp_distill_lidar.py:388-517 et al.)."""
+    dcfg = DISTILL_VARIANTS[(teacher, student)]
+    base = camera_exp() if student == "camera" else lidar_exp()
+    return dataclasses.replace(
+        base,
+        exp_name=f"BEVFusion_nuscenes_centerhead_{student}_exp_distill_{teacher}",
+        train=dataclasses.replace(base.train, lr=2e-4),
+        distill=dcfg,
+    )
