@@ -1,0 +1,137 @@
+"""Sparse gather-GEMM conv vs dense-conv oracle (SURVEY.md §4: dense-numpy
+oracles per kernel). Because inactive cells are zero, a submanifold/sparse conv
+evaluated at its active sites must equal the dense convolution there."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unidistill_tpu.ops.sparse_conv import (
+    SparseTensor,
+    from_voxels,
+    sparse_conv_down,
+    subm_conv,
+    to_dense,
+)
+
+
+def _random_sparse(rng, shape, n_active, C, cap):
+    D, H, W = shape
+    lin = rng.choice(D * H * W, size=n_active, replace=False)
+    lin.sort()
+    z, y, x = lin // (H * W), (lin // W) % H, lin % W
+    coords = np.full((cap, 3), -1, np.int32)
+    coords[:n_active] = np.stack([z, y, x], -1)
+    feats = np.zeros((cap, C), np.float32)
+    feats[:n_active] = rng.randn(n_active, C)
+    return jnp.asarray(feats), jnp.asarray(coords)
+
+
+def _dense_conv(dense, w, stride, padding):
+    # dense [D,H,W,Cin], w [kz,ky,kx,Cin,Cout] correlation
+    return jax.lax.conv_general_dilated(
+        dense[None],
+        w,
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0]
+
+
+def test_subm_conv_matches_dense():
+    rng = np.random.RandomState(0)
+    shape = (6, 10, 12)
+    feats, coords = _random_sparse(rng, shape, 50, 4, cap=64)
+    st = from_voxels(feats, coords, shape)
+    w = rng.randn(27, 4, 5).astype(np.float32)
+
+    out = subm_conv(st, jnp.asarray(w), shape)
+
+    dense = to_dense(st, shape)
+    wd = w.reshape(3, 3, 3, 4, 5)
+    ref = _dense_conv(dense, jnp.asarray(wd), (1, 1, 1), (1, 1, 1))
+    # compare at active sites
+    c = np.asarray(st.coords)
+    ours = np.asarray(out.features)
+    refn = np.asarray(ref)
+    for i in range(50):
+        z, y, x = c[i]
+        np.testing.assert_allclose(ours[i], refn[z, y, x], rtol=1e-4, atol=1e-4)
+    assert np.abs(ours[50:]).sum() == 0
+
+
+def test_sparse_down_conv_matches_dense():
+    rng = np.random.RandomState(1)
+    shape = (7, 10, 12)
+    out_shape = (4, 5, 6)  # floor((i + 2p - k)/s)+1 with k3 s2 p1
+    feats, coords = _random_sparse(rng, shape, 60, 3, cap=80)
+    st = from_voxels(feats, coords, shape)
+    w = rng.randn(27, 3, 6).astype(np.float32)
+
+    out = sparse_conv_down(
+        st, jnp.asarray(w), (3, 3, 3), (2, 2, 2), (1, 1, 1), shape, out_shape, 128
+    )
+
+    dense = to_dense(st, shape)
+    ref = np.asarray(
+        _dense_conv(dense, jnp.asarray(w.reshape(3, 3, 3, 3, 6)), (2, 2, 2), (1, 1, 1))
+    )
+    occ = (np.abs(np.asarray(dense)).sum(-1, keepdims=True) > 0).astype(np.float32)
+    ref_occ = np.asarray(
+        _dense_conv(jnp.asarray(occ), jnp.ones((3, 3, 3, 1, 1), jnp.float32),
+                    (2, 2, 2), (1, 1, 1))
+    )[..., 0]
+    active_ref = {
+        (z, y, x)
+        for z, y, x in zip(*np.nonzero(ref_occ > 0))
+    }
+    nv = int(np.asarray(out.valid).sum())
+    c = np.asarray(out.coords)
+    got = {tuple(c[i]) for i in range(nv)}
+    assert got == active_ref
+    ours = np.asarray(out.features)
+    for i in range(nv):
+        z, y, x = c[i]
+        np.testing.assert_allclose(ours[i], ref[z, y, x], rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_down_z_only():
+    """The final (3,1,1)/(2,1,1)/pad0 z-compression conv (ref spconv_backbone conv_out)."""
+    rng = np.random.RandomState(2)
+    shape = (5, 6, 6)
+    out_shape = (2, 6, 6)
+    feats, coords = _random_sparse(rng, shape, 40, 4, cap=48)
+    st = from_voxels(feats, coords, shape)
+    w = rng.randn(3, 4, 4).astype(np.float32)
+
+    out = sparse_conv_down(
+        st, jnp.asarray(w), (3, 1, 1), (2, 1, 1), (0, 0, 0), shape, out_shape, 64
+    )
+
+    dense = to_dense(st, shape)
+    ref = np.asarray(
+        _dense_conv(dense, jnp.asarray(w.reshape(3, 1, 1, 4, 4)), (2, 1, 1), (0, 0, 0))
+    )
+    nv = int(np.asarray(out.valid).sum())
+    c = np.asarray(out.coords)
+    ours = np.asarray(out.features)
+    assert nv > 0
+    for i in range(nv):
+        z, y, x = c[i]
+        np.testing.assert_allclose(ours[i], ref[z, y, x], rtol=1e-4, atol=1e-4)
+
+
+def test_subm_grad_flows():
+    rng = np.random.RandomState(3)
+    shape = (4, 6, 6)
+    feats, coords = _random_sparse(rng, shape, 20, 4, cap=32)
+    st = from_voxels(feats, coords, shape)
+    w = jnp.asarray(rng.randn(27, 4, 4).astype(np.float32))
+
+    def loss(w, f):
+        out = subm_conv(SparseTensor(f, st.coords, st.keys, st.valid), w, shape)
+        return jnp.sum(out.features ** 2)
+
+    gw, gf = jax.grad(loss, argnums=(0, 1))(w, st.features)
+    assert np.isfinite(np.asarray(gw)).all() and np.abs(np.asarray(gw)).sum() > 0
+    assert np.isfinite(np.asarray(gf)).all() and np.abs(np.asarray(gf)).sum() > 0

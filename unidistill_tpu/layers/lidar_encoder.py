@@ -1,0 +1,225 @@
+"""LiDAR voxel encoder: voxelize → mean-VFE → sparse ResNet middle encoder →
+height compression, in Flax over the gather-GEMM sparse conv ops.
+
+ref pipeline (BEVFusion_nuscenes_base_exp.py:40-85):
+  Voxelization (spconv PointToVoxel) → MeanVFE → VoxelResBackBone8x
+  (spconv_backbone.py:253-343) → HeightCompression (height_compression.py:4-22).
+
+Architecture matched stage-for-stage:
+  conv_input: SubM(5→16) + BN + ReLU
+  conv1: 2 × SparseBasicBlock(16)
+  conv2: SparseConv(16→32, s2, p1) + BN + ReLU; 2 × SparseBasicBlock(32)
+  conv3: SparseConv(32→64, s2, p1) + BN + ReLU; 2 × SparseBasicBlock(64)
+  conv4: SparseConv(64→128, s2, p=(0,1,1)) + BN + ReLU; 2 × SparseBasicBlock(128)
+  conv_out: SparseConv(128→128, k=(3,1,1), s=(2,1,1), p0) + BN + ReLU
+  dense → [B, 180, 180, 256] (C·D channel fold, D=2)
+
+TPU specifics: fixed per-stage voxel capacity (cfg.stage_voxel_caps), masked
+batch-norm over valid voxels (spconv BN normalizes over the ragged voxel set;
+padding must not pollute statistics), per-sample sparse ops vmapped over batch.
+SparseBasicBlock convs carry a bias (a reference quirk — bias=True whenever a
+norm follows, spconv_backbone.py:70-77 — kept for checkpoint-import parity).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unidistill_tpu.configs.nuscenes import LidarEncoderConfig
+from unidistill_tpu.ops.sparse_conv import (
+    SparseTensor,
+    from_voxels,
+    sparse_conv_down,
+    subm_conv,
+)
+
+
+def _kaiming(key, shape, dtype=jnp.float32):
+    # fan_in over (taps * Cin)
+    fan_in = shape[0] * shape[1]
+    std = (2.0 / fan_in) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over ragged [B, V, C] voxel features with validity mask."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (C,))
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (C,))
+
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            cnt = jnp.maximum(m.sum(), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = (xf * m).sum(axis=(0, 1)) / cnt
+            var = (jnp.square(xf - mean) * m).sum(axis=(0, 1)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0).astype(x.dtype)
+
+
+class _SubMConv(nn.Module):
+    cin: int
+    cout: int
+    use_bias: bool
+    spatial_shape: Tuple[int, int, int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, st_b):
+        w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,)) if self.use_bias else None
+        conv = partial(subm_conv, spatial_shape=self.spatial_shape)
+        w = w.astype(self.dtype)
+        bb = None if b is None else b.astype(self.dtype)
+        return jax.vmap(lambda st: conv(st, w, bias=bb))(st_b)
+
+
+class _SparseDownConv(nn.Module):
+    cin: int
+    cout: int
+    kernel_size: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    spatial_shape: Tuple[int, int, int]
+    out_spatial_shape: Tuple[int, int, int]
+    out_cap: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, st_b):
+        K = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
+        w = self.param("kernel", _kaiming, (K, self.cin, self.cout)).astype(self.dtype)
+        fn = partial(
+            sparse_conv_down,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            spatial_shape=self.spatial_shape,
+            out_spatial_shape=self.out_spatial_shape,
+            out_cap=self.out_cap,
+        )
+        return jax.vmap(lambda st: fn(st, w))(st_b)
+
+
+class SparseBasicBlock(nn.Module):
+    planes: int
+    spatial_shape: Tuple[int, int, int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, st_b, train: bool):
+        identity = st_b.features
+        out = _SubMConv(self.planes, self.planes, True, self.spatial_shape,
+                        self.dtype, name="conv1")(st_b)
+        f = MaskedBatchNorm(name="bn1")(out.features, out.valid, train)
+        f = nn.relu(f)
+        out = _SubMConv(self.planes, self.planes, True, self.spatial_shape,
+                        self.dtype, name="conv2")(out._replace(features=f))
+        f = MaskedBatchNorm(name="bn2")(out.features, out.valid, train)
+        f = nn.relu(f + identity.astype(f.dtype))
+        f = jnp.where(out.valid[..., None], f, 0.0)
+        return out._replace(features=f)
+
+
+class VoxelResBackBone8x(nn.Module):
+    """Sparse middle encoder; input [B, V, 5] voxel mean features + coords."""
+
+    cfg: LidarEncoderConfig
+    eval_mode_caps: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, coords, train: bool):
+        cfg = self.cfg
+        nx, ny, nz = cfg.grid_size
+        s0 = (nz + 1, ny, nx)  # ref: grid_size[::-1] + [1, 0, 0] → (41, 1440, 1440)
+        s2 = tuple((d + 2 - 3) // 2 + 1 for d in s0)  # (21, 720, 720)
+        s3 = tuple((d + 2 - 3) // 2 + 1 for d in s2)  # (11, 360, 360)
+        s4 = (
+            (s3[0] - 3) // 2 + 1,
+            (s3[1] + 2 - 3) // 2 + 1,
+            (s3[2] + 2 - 3) // 2 + 1,
+        )  # (5, 180, 180)
+        s5 = ((s4[0] - 3) // 2 + 1, s4[1], s4[2])  # (2, 180, 180)
+        caps = cfg.stage_voxel_caps
+
+        st = jax.vmap(lambda f, c: from_voxels(f, c, s0))(
+            feats.astype(self.dtype), coords
+        )
+
+        def bn_relu(st_b, name):
+            f = MaskedBatchNorm(name=name)(st_b.features, st_b.valid, train)
+            return st_b._replace(features=nn.relu(f))
+
+        st = _SubMConv(feats.shape[-1], 16, False, s0, self.dtype,
+                       name="conv_input")(st)
+        st = bn_relu(st, "bn_input")
+        st = SparseBasicBlock(16, s0, self.dtype, name="res1a")(st, train)
+        st = SparseBasicBlock(16, s0, self.dtype, name="res1b")(st, train)
+
+        st = _SparseDownConv(16, 32, (3, 3, 3), (2, 2, 2), (1, 1, 1), s0, s2,
+                             caps[1], self.dtype, name="down2")(st)
+        st = bn_relu(st, "bn2")
+        st = SparseBasicBlock(32, s2, self.dtype, name="res2a")(st, train)
+        st = SparseBasicBlock(32, s2, self.dtype, name="res2b")(st, train)
+
+        st = _SparseDownConv(32, 64, (3, 3, 3), (2, 2, 2), (1, 1, 1), s2, s3,
+                             caps[2], self.dtype, name="down3")(st)
+        st = bn_relu(st, "bn3")
+        st = SparseBasicBlock(64, s3, self.dtype, name="res3a")(st, train)
+        st = SparseBasicBlock(64, s3, self.dtype, name="res3b")(st, train)
+
+        st = _SparseDownConv(64, 128, (3, 3, 3), (2, 2, 2), (0, 1, 1), s3, s4,
+                             caps[3], self.dtype, name="down4")(st)
+        st = bn_relu(st, "bn4")
+        st = SparseBasicBlock(128, s4, self.dtype, name="res4a")(st, train)
+        st = SparseBasicBlock(128, s4, self.dtype, name="res4b")(st, train)
+
+        st = _SparseDownConv(128, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0), s4, s5,
+                             caps[4], self.dtype, name="conv_out")(st)
+        st = bn_relu(st, "bn_out")
+
+        # HeightCompression: dense [B, D, H, W, C] → [B, H, W, C*D], channel
+        # index c*D + d to match torch's view(N, C*D, H, W) fold.
+        D, H, W = s5
+        C = st.features.shape[-1]
+
+        def densify(st1):
+            flat = jnp.zeros((D * H * W + 1, C), dtype=st1.features.dtype)
+            idx = jnp.where(st1.valid, st1.keys, D * H * W)
+            flat = flat.at[idx].set(st1.features, mode="drop")
+            return flat[:-1].reshape(D, H, W, C)
+
+        dense = jax.vmap(densify)(st)  # [B, D, H, W, C]
+        bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(-1, H, W, C * D)
+        return bev
+
+
+class LidarEncoder(nn.Module):
+    cfg: LidarEncoderConfig
+    max_voxels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, voxel_feats, voxel_coords, train: bool):
+        """voxel_feats [B, V, 5] (mean VFE output), voxel_coords [B, V, 3] (z,y,x)."""
+        return VoxelResBackBone8x(self.cfg, dtype=self.dtype, name="backbone_3d")(
+            voxel_feats, voxel_coords, train
+        )
