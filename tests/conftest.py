@@ -3,12 +3,19 @@
 Mirrors SURVEY.md §4: multi-device semantics (psum-in-loss, eval gather) are
 validated via `--xla_force_host_platform_device_count`, substituting for the
 reference's nonexistent distributed tests.
+
+NOTE: the axon sitecustomize force-registers the TPU backend and overrides
+JAX_PLATFORMS, so plain env vars don't stick — `jax.config.update` after
+import does.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -144,7 +144,7 @@ class AssignerConfig:
     topk: int = 9
     with_velocity: bool = True
     # TPU fixed-shape cap on positives per (frame, task): <= topk * max_gt.
-    max_pos: int = 1024
+    max_pos: int = 1536
 
 
 @dataclass(frozen=True)
