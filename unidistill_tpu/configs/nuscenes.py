@@ -337,6 +337,37 @@ def fusion_exp() -> ExpConfig:
     return ExpConfig(exp_name="BEVFusion_nuscenes_centerhead_fusion_exp")
 
 
+def tiny_model(with_lidar: bool = True, with_camera: bool = True) -> ModelConfig:
+    """Shrunken config for CPU tests / multi-chip dry-runs: same structure,
+    tiny grid (80×80×8), 32×64 images, 4 depth bins, small voxel caps."""
+    # z-grid stays 40 so the sparse encoder's depth chain (41→21→11→5→2) and
+    # the 128·2=256-channel BEV fold match the real model structurally.
+    return ModelConfig(
+        grid_size=(80, 80, 40),
+        voxel_size=(1.35, 1.35, 0.2),
+        with_lidar=with_lidar,
+        with_camera=with_camera,
+        lidar_encoder=LidarEncoderConfig(
+            voxel_size=(1.35, 1.35, 0.2),
+            grid_size=(80, 80, 40),
+            stage_voxel_caps=(2048, 1024, 512, 256, 256),
+        ),
+        camera_encoder=CameraEncoderConfig(
+            x_bound=(-54.0, 54.0, 10.8),
+            y_bound=(-54.0, 54.0, 10.8),
+            d_bound=(2.0, 10.0, 2.0),
+            final_dim=(32, 64),
+            num_cams=2,
+            output_channels=256,
+        ),
+        assigner=AssignerConfig(max_pos=128),
+        caps=ShapeCaps(
+            max_points=4096, max_voxels_train=2048, max_voxels_eval=2048,
+            max_gt_boxes=16,
+        ),
+    )
+
+
 def distill_exp(teacher: str, student: str) -> ExpConfig:
     """ref the 4 distill exp files (…camera_exp_distill_lidar.py:388-517 et al.)."""
     dcfg = DISTILL_VARIANTS[(teacher, student)]

@@ -1,0 +1,9 @@
+"""lidar→camera distillation experiment.
+
+ref …BEVFusion_nuscenes_centerhead_camera_exp_distill_lidar.py (loss weights per
+SURVEY.md §2.3 matrix; teacher frozen, student lr 2e-4).
+"""
+from unidistill_tpu.exps.distill_cli import run_distill_cli
+
+if __name__ == "__main__":
+    run_distill_cli(teacher="lidar", student="camera")

