@@ -198,9 +198,11 @@ class NuScenesDataset:
                     cfg.ida_bot_pct_lim, self.is_train,
                 )
                 img, ida = T.img_transform(Image.fromarray(raw[cam]), *aug)
+                from unidistill_tpu.data import native
+
                 imgs.append(
-                    T.normalize_image(np.asarray(img), cfg.img_mean, cfg.img_std,
-                                      swap_channels=cfg.to_rgb)
+                    native.normalize_image(np.asarray(img), cfg.img_mean,
+                                           cfg.img_std, swap_channels=cfg.to_rgb)
                 )
                 ida_mats.append(ida)
             imgs = np.stack(imgs).astype(np.float32)  # [N_cam, H, W, 3]

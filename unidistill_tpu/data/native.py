@@ -1,0 +1,224 @@
+"""ctypes bindings for the C++ host-runtime kernels (runtime/pointprep.cc).
+
+Replaces the reference's numba-JIT geometry kernels and numpy hot loops in the
+dataloader workers (SURVEY.md §2.2 'numba JIT' row). Falls back to numpy
+implementations when the shared library hasn't been built
+(`make -C runtime`), so the framework stays pure-Python-runnable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "runtime", "libpointprep.so",
+)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_LIB_PATH):
+        try:  # best-effort build
+            subprocess.run(
+                ["make", "-C", os.path.dirname(_LIB_PATH)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.transform_points_4x4.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+    ]
+    lib.range_filter_pad.restype = ctypes.c_int64
+    lib.range_filter_pad.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.points_in_rbbox.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.voxelize_first_occurrence.restype = ctypes.c_int64
+    lib.voxelize_first_occurrence.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.normalize_image_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+    ]
+    _LIB = lib
+    return lib
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def transform_points(points: np.ndarray, m: np.ndarray, dt: float) -> np.ndarray:
+    """In-place 4×4 transform of [N, 5] points + timestamp write."""
+    lib = _load()
+    points = np.ascontiguousarray(points, np.float32)
+    if lib is None:
+        hom = np.ones((points.shape[0], 4))
+        hom[:, :3] = points[:, :3]
+        points[:, :3] = (m @ hom.T).T[:, :3].astype(np.float32)
+        points[:, 4] = dt
+        return points
+    m = np.ascontiguousarray(m, np.float64)
+    lib.transform_points_4x4(
+        _fptr(points), points.shape[0],
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), float(dt),
+    )
+    return points
+
+
+def range_filter_pad(
+    points: np.ndarray, pc_range, cap: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """xy range filter + pad to [cap, 5]; returns (padded, mask, n_kept)."""
+    lib = _load()
+    points = np.ascontiguousarray(points, np.float32)
+    if lib is None:
+        m = (
+            (points[:, 0] >= pc_range[0]) & (points[:, 0] <= pc_range[3])
+            & (points[:, 1] >= pc_range[1]) & (points[:, 1] <= pc_range[4])
+        )
+        kept = points[m][:cap]
+        out = np.zeros((cap, points.shape[1]), np.float32)
+        out[: len(kept)] = kept
+        mask = np.zeros(cap, bool)
+        mask[: len(kept)] = True
+        return out, mask, len(kept)
+    out = np.empty((cap, 5), np.float32)
+    mask = np.empty(cap, np.uint8)
+    rng = np.ascontiguousarray(pc_range, np.float64)
+    n = lib.range_filter_pad(
+        _fptr(points), points.shape[0],
+        rng.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _fptr(out), mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    return out, mask.astype(bool), int(n)
+
+
+def points_in_rbbox(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """[M, N] bool (numba points_in_rbbox replacement)."""
+    lib = _load()
+    points = np.ascontiguousarray(points, np.float32)
+    boxes = np.ascontiguousarray(boxes[:, :7], np.float32)
+    if lib is None:
+        px = points[None, :, 0] - boxes[:, None, 0]
+        py = points[None, :, 1] - boxes[:, None, 1]
+        c = np.cos(-boxes[:, None, 6])
+        s = np.sin(-boxes[:, None, 6])
+        lx = px * c - py * s
+        ly = px * s + py * c
+        return (np.abs(lx) <= boxes[:, None, 3] / 2) & (
+            np.abs(ly) <= boxes[:, None, 4] / 2
+        )
+    out = np.empty((boxes.shape[0], points.shape[0]), np.uint8)
+    lib.points_in_rbbox(
+        _fptr(points), points.shape[0], points.shape[1],
+        _fptr(boxes), boxes.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.astype(bool)
+
+
+class HostVoxelizer:
+    """Reference-exact first-occurrence voxelizer (spconv PointToVoxel
+    semantics) for golden tests and CPU pipelines."""
+
+    def __init__(self, pc_range, voxel_size, grid, max_voxels, max_pts):
+        self.pc_range = np.ascontiguousarray(pc_range, np.float64)
+        self.voxel_size = np.ascontiguousarray(voxel_size, np.float64)
+        self.grid = np.ascontiguousarray(grid, np.int64)
+        self.max_voxels = max_voxels
+        self.max_pts = max_pts
+        self._hash = np.full(int(np.prod(grid)), -1, np.int32)
+
+    def __call__(self, points: np.ndarray):
+        lib = _load()
+        points = np.ascontiguousarray(points, np.float32)
+        nfeat = points.shape[1]
+        voxels = np.empty((self.max_voxels, self.max_pts, nfeat), np.float32)
+        coords = np.empty((self.max_voxels, 3), np.int32)
+        npts = np.empty(self.max_voxels, np.int32)
+        if lib is None:
+            return self._numpy_fallback(points, voxels, coords, npts)
+        nv = lib.voxelize_first_occurrence(
+            _fptr(points), points.shape[0], nfeat,
+            self.pc_range.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.voxel_size.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.grid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.max_voxels, self.max_pts,
+            _fptr(voxels),
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            npts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._hash.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        nv = int(nv)
+        return voxels[:nv], coords[:nv], npts[:nv]
+
+    def _numpy_fallback(self, points, voxels, coords, npts):
+        nv = 0
+        lut = {}
+        voxels[:] = 0
+        npts[:] = 0
+        nx, ny, nz = self.grid
+        vc = np.floor((points[:, :3] - self.pc_range[:3]) / self.voxel_size).astype(int)
+        ok = ((vc >= 0) & (vc < self.grid[None, :])).all(1)
+        for i in np.nonzero(ok)[0]:
+            key = (vc[i, 2], vc[i, 1], vc[i, 0])
+            v = lut.get(key)
+            if v is None:
+                if nv >= self.max_voxels:
+                    continue
+                v = nv
+                lut[key] = v
+                coords[v] = key
+                nv += 1
+            if npts[v] < self.max_pts:
+                voxels[v, npts[v]] = points[i]
+                npts[v] += 1
+        return voxels[:nv], coords[:nv], npts[:nv]
+
+
+def normalize_image(img: np.ndarray, mean, std, swap_channels=True) -> np.ndarray:
+    lib = _load()
+    if lib is None or img.dtype != np.uint8:
+        from unidistill_tpu.data.transforms import normalize_image as np_norm
+
+        return np_norm(img, mean, std, swap_channels)
+    img = np.ascontiguousarray(img)
+    out = np.empty(img.shape, np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    stdinv = np.ascontiguousarray(1.0 / np.asarray(std, np.float32), np.float32)
+    lib.normalize_image_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.shape[0] * img.shape[1], _fptr(mean), _fptr(stdinv),
+        1 if swap_channels else 0, _fptr(out),
+    )
+    return out

@@ -55,6 +55,8 @@ def collect_lidar_sweeps(
     points [N, 5]; each sweep [M, 5]; sweep_infos: dicts with
     'sweep_lidar_to_ego' (inv car_from_global — the reference's naming is off,
     it is actually sweep ego_to_global) and 'sweep_lidar_timestamp'."""
+    from unidistill_tpu.data import native  # lazy: avoids import cycle
+
     all_points = points.copy()
     if all_points.shape[-1] == 5:
         all_points[:, -1] = 0.0
@@ -62,14 +64,16 @@ def collect_lidar_sweeps(
     inv_key_l2e = np.linalg.inv(key_lidar_to_ego)
     inv_key_e2g = np.linalg.inv(key_ego_to_global)
     for frame, info in zip(sweeps, sweep_infos):
-        frame = frame.copy()
-        hom = np.ones((frame.shape[0], 4))
-        hom[:, :3] = frame[:, :3]
         m = inv_key_l2e @ inv_key_e2g @ info["sweep_lidar_to_ego"] @ key_lidar_to_ego
-        frame[:, :3] = (m @ hom.T).T[:, :3]
+        dt = (key_timestamp - info["sweep_lidar_timestamp"]) / 1e6
         if frame.shape[-1] == 5:
-            frame[:, -1] = (key_timestamp - info["sweep_lidar_timestamp"]) / 1e6
-        out.append(frame)
+            out.append(native.transform_points(frame.copy(), m, dt))
+        else:
+            frame = frame.copy()
+            hom = np.ones((frame.shape[0], 4))
+            hom[:, :3] = frame[:, :3]
+            frame[:, :3] = (m @ hom.T).T[:, :3]
+            out.append(frame)
     return np.concatenate(out, axis=0)
 
 

@@ -27,7 +27,9 @@ def conv2d(w: np.ndarray) -> np.ndarray:
 
 
 def conv_transpose2d(w: np.ndarray) -> np.ndarray:
-    return np.transpose(w, (2, 3, 0, 1))
+    # flax ConvTranspose (lax.conv_transpose) convolves with the kernel as-is
+    # while torch's transposed conv applies it mirror-imaged → flip spatial.
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def linear(w: np.ndarray) -> np.ndarray:
