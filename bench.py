@@ -6,9 +6,9 @@ the attached TPU chip, reporting frames/sec/chip.
 
 Methodology: the axon relay adds ~30 ms host↔device round-trip per dispatch
 and pipelines independent dispatches, so naive wall-clock loops are wrong in
-both directions. We chain N steps inside ONE jit with a data dependence
-(carry perturbs the input images) and difference N=1 vs N=K+1 timings to get
-pure per-step device time.
+both directions. We time fully-synchronous single dispatches (scalar fetch
+forces completion) and subtract the relay overhead measured with a trivial
+jitted no-op, reporting the median of several reps.
 
 `vs_baseline`: the reference repo publishes no numbers (BASELINE.md); the
 provisional denominator is 25 frames/sec — a representative A100 figure for a
@@ -21,25 +21,18 @@ import time
 
 A100_REF_FPS = 25.0
 BATCH = 4
-CHAIN = 8
+REPS = 7
 
 
-def timed_chain(step_fn, state, batch, n):
-    """Build a jitted fn running `n` dependent eval steps."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(state, batch):
-        def body(i, carry):
-            b = dict(batch)
-            b["imgs"] = batch["imgs"] + carry * 1e-30
-            out = step_fn(state, b)
-            return carry + jnp.sum(out["scores"]) * 1e-30
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    return run
+def median_sync_time(fn, reps=REPS):
+    """Median wall time of a fully-synchronous call (fn must fetch a scalar)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main():
@@ -63,23 +56,19 @@ def main():
     tx = make_optimizer(1e-3, 1e-7, 0.1)
     state = create_train_state(variables, tx)
 
-    step = functools.partial(eval_step, model=model, cfg=cfg)
-    run1 = timed_chain(step, state, batch, 1)
-    runk = timed_chain(step, state, batch, CHAIN + 1)
-    float(run1(state, batch))  # compile + warm
-    float(runk(state, batch))
+    step = jax.jit(functools.partial(eval_step, model=model, cfg=cfg))
 
-    def best(fn, reps=3):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(state, batch))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    @jax.jit
+    def noop(x):
+        return x + 1.0
 
-    d1 = best(run1)
-    dk = best(runk)
-    per_step = max((dk - d1) / CHAIN, 1e-9)
+    small = jnp.zeros((8,), jnp.float32)
+    float(noop(small)[0])  # compile
+    float(jnp.sum(step(state, batch)["scores"]))  # compile + warm
+
+    ovh = median_sync_time(lambda: float(noop(small)[0]))
+    d = median_sync_time(lambda: float(jnp.sum(step(state, batch)["scores"])))
+    per_step = max(d - ovh, 1e-9)
     fps = BATCH / per_step
 
     print(

@@ -19,18 +19,37 @@ import orbax.checkpoint as ocp
 from unidistill_tpu.training.train_state import TrainState
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, step: Optional[int] = None):
+def save_checkpoint(
+    ckpt_dir: str,
+    state: TrainState,
+    step: Optional[int] = None,
+    with_opt_state: bool = True,
+    keep_latest: Optional[int] = None,
+):
+    """Save params/batch_stats/opt_state. `keep_latest` prunes old steps —
+    the reference configures `num_keep_latest_ckpt` but never enforces it
+    (SURVEY.md known defects); we do."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     step = int(state.step) if step is None else step
+    payload = dict(
+        step=np.asarray(state.step),
+        params=jax.device_get(state.params),
+        batch_stats=jax.device_get(state.batch_stats),
+    )
+    if with_opt_state:
+        payload["opt_state"] = jax.device_get(state.opt_state)
     with ocp.StandardCheckpointer() as ck:
-        ck.save(
-            os.path.join(ckpt_dir, f"step_{step}"),
-            dict(
-                step=np.asarray(state.step),
-                params=jax.device_get(state.params),
-                batch_stats=jax.device_get(state.batch_stats),
-            ),
+        ck.save(os.path.join(ckpt_dir, f"step_{step}"), payload)
+    if keep_latest:
+        steps = sorted(
+            int(d[5:]) for d in os.listdir(ckpt_dir)
+            if d.startswith("step_") and d[5:].isdigit()
         )
+        for old in steps[:-keep_latest]:
+            import shutil
+
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{old}"),
+                          ignore_errors=True)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -163,11 +163,18 @@ class Trainer:
                 step=np.zeros((), np.int32),
                 params=jax.device_get(state.params),
                 batch_stats=jax.device_get(state.batch_stats),
+                opt_state=jax.device_get(state.opt_state),
             )
-            restored = ckpt_lib.restore_checkpoint(resume_from, tpl)
+            try:
+                restored = ckpt_lib.restore_checkpoint(resume_from, tpl)
+                opt_state = restored["opt_state"]
+            except Exception:  # older/partial checkpoints without opt_state
+                tpl.pop("opt_state")
+                restored = ckpt_lib.restore_checkpoint(resume_from, tpl)
+                opt_state = state.opt_state
             state = TrainState(
                 jnp.asarray(restored["step"]), restored["params"],
-                restored["batch_stats"], state.opt_state,
+                restored["batch_stats"], opt_state,
             )
         distill_ctx = None
         t_params = t_stats = None
