@@ -79,41 +79,70 @@ def _seg_intersections(qa, qb):
     return pt.reshape(shp), valid.reshape(shp[:-1])
 
 
+def _clipped_edge_contrib(p0, p1, quad, exclude_boundary=False):
+    """Shoelace contribution of the part of segment p0→p1 inside convex quad.
+
+    The boundary of A∩B is (edges of A clipped to B) ∪ (edges of B clipped to
+    A), all ccw; Green's theorem sums segment contributions in ANY order, so
+    no vertex sorting is needed (the sort in the naive formulation is what
+    kills TPU throughput). Liang–Barsky clip against the quad's 4 half-planes.
+
+    p0, p1: [..., 2]; quad: [..., 4, 2] (ccw). Returns [...] cross-term sums.
+    """
+    d = p1 - p0
+    a = quad  # [..., 4, 2]
+    b = jnp.roll(quad, -1, axis=-2)
+    e = b - a  # edge vectors
+    # inward UNIT normal of ccw edge (a→b); normalizing makes `num` a signed
+    # distance in meters and `den` a projection of d, so epsilon thresholds
+    # are scale-invariant and deterministic under different XLA fusions.
+    elen = jnp.sqrt(e[..., 0] ** 2 + e[..., 1] ** 2) + _EPS
+    nx = -(e[..., 1]) / elen
+    ny = e[..., 0] / elen
+    p0e = p0[..., None, :]
+    den = nx * d[..., None, 0] + ny * d[..., None, 1]  # [..., 4]
+    num = nx * (a[..., 0] - p0e[..., 0]) + ny * (a[..., 1] - p0e[..., 1])
+    dlen = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)[..., None] + _EPS
+    PAR = 1e-5  # |den| below PAR·|d| → treat as parallel to the half-plane
+    BND = 1e-5  # boundary tolerance in meters
+    is_par = jnp.abs(den) <= PAR * dlen
+    t = num / jnp.where(is_par, 1.0, den)
+    # den > 0: entering (lower bound), den < 0: leaving (upper bound)
+    t_lo = jnp.where(~is_par & (den > 0), t, 0.0)
+    t_hi = jnp.where(~is_par & (den < 0), t, 1.0)
+    # parallel segment handling: `exclude_boundary` makes edges lying exactly
+    # ON the quad boundary count as outside — applied to one polygon's edges
+    # only, so coincident edges (e.g. identical boxes) are counted once.
+    thresh = -BND if exclude_boundary else BND
+    parallel_out = is_par & (num > thresh)
+    t0 = jnp.clip(jnp.max(t_lo, axis=-1), 0.0, 1.0)
+    t1 = jnp.clip(jnp.min(t_hi, axis=-1), 0.0, 1.0)
+    ok = (t1 > t0) & ~jnp.any(parallel_out, axis=-1)
+    q0 = p0 + t0[..., None] * d
+    q1 = p0 + t1[..., None] * d
+    contrib = q0[..., 0] * q1[..., 1] - q0[..., 1] * q1[..., 0]
+    return jnp.where(ok, contrib, 0.0)
+
+
 def rotated_intersection_area(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray):
-    """Intersection area of paired rotated BEV boxes.
+    """Intersection area of paired rotated BEV boxes — sort-free edge-clipping
+    formulation (TPU-friendly: pure element-wise math, no sorts/gathers).
 
     boxes_a, boxes_b: [..., 5] (cx, cy, dx, dy, rot), broadcast-compatible.
     Returns [...] areas.
     """
     boxes_a, boxes_b = jnp.broadcast_arrays(boxes_a, boxes_b)
-    qa = box_corners_bev(boxes_a)
+    qa = box_corners_bev(boxes_a)  # ccw corners
     qb = box_corners_bev(boxes_b)
-    in_b = _point_in_quad(qa, qb)  # corners of a in b [..., 4]
-    in_a = _point_in_quad(qb, qa)
-    xpts, xval = _seg_intersections(qa, qb)  # [..., 16, 2]
-
-    pts = jnp.concatenate([qa, qb, xpts], axis=-2)  # [..., 24, 2]
-    val = jnp.concatenate([in_b, in_a, xval], axis=-1)  # [..., 24]
-
-    n = jnp.sum(val, axis=-1)  # number of polygon vertices
-    centroid = jnp.sum(
-        jnp.where(val[..., None], pts, 0.0), axis=-2
-    ) / jnp.maximum(n, 1)[..., None]
-    ang = jnp.arctan2(
-        pts[..., 1] - centroid[..., 1:2], pts[..., 0] - centroid[..., 0:1]
-    )
-    ang = jnp.where(val, ang, jnp.inf)  # invalid last
-    order = jnp.argsort(ang, axis=-1)
-    spts = jnp.take_along_axis(pts, order[..., None], axis=-2)
-
-    idx = jnp.arange(24)
-    nxt = jnp.where(idx + 1 < n[..., None], idx + 1, 0)
-    p1 = spts
-    p2 = jnp.take_along_axis(spts, nxt[..., None], axis=-2)
-    contrib = p1[..., 0] * p2[..., 1] - p1[..., 1] * p2[..., 0]
-    contrib = jnp.where(idx < n[..., None], contrib, 0.0)
-    area = 0.5 * jnp.abs(jnp.sum(contrib, axis=-1))
-    return jnp.where(n >= 3, area, 0.0)
+    total = 0.0
+    for i in range(4):
+        total = total + _clipped_edge_contrib(
+            qa[..., i, :], qa[..., (i + 1) % 4, :], qb
+        )
+        total = total + _clipped_edge_contrib(
+            qb[..., i, :], qb[..., (i + 1) % 4, :], qa, exclude_boundary=True
+        )
+    return jnp.maximum(0.5 * total, 0.0)
 
 
 def rotated_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, block: int = 128):
