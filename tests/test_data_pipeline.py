@@ -1,0 +1,181 @@
+"""End-to-end data pipeline test on a synthetic on-disk mini-nuScenes:
+info pkl + point bins + jpegs → dataset → transforms → fixed-shape collate →
+submission json. Validates the full host path without the real dataset."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from unidistill_tpu.configs.nuscenes import DataConfig, tiny_model
+from unidistill_tpu.data.collate import DataLoader, collate
+from unidistill_tpu.data.dataset import CAM_KEYS, NuScenesDataset
+from unidistill_tpu.data.evaluate import generate_submission
+
+N_FRAMES = 4
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nusc")
+    rng = np.random.RandomState(0)
+    os.makedirs(root / "samples", exist_ok=True)
+    infos = []
+    for i in range(N_FRAMES):
+        pts = rng.uniform(-50, 50, (3000, 5)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-4, 2, 3000)
+        pts[:, 4] = 0
+        lidar_file = f"samples/lidar_{i}.bin"
+        pts.tofile(str(root / lidar_file))
+
+        sweeps = []
+        for s in range(2):
+            sp = rng.uniform(-50, 50, (1000, 5)).astype(np.float32)
+            sf = f"samples/sweep_{i}_{s}.bin"
+            sp.tofile(str(root / sf))
+            sweeps.append(
+                {
+                    "LIDAR_TOP": dict(
+                        filename=sf,
+                        car_from_global=np.eye(4) + rng.randn(4, 4) * 0.001,
+                        timestamp=1e6 * i - (s + 1) * 5e4,
+                    )
+                }
+            )
+
+        cam_infos = {}
+        s2e_rot, s2e_tr = {}, {}
+        for cam in CAM_KEYS[:2]:
+            f = f"samples/{cam}_{i}.jpg"
+            Image.fromarray(
+                rng.randint(0, 255, (900, 1600, 3), np.uint8)
+            ).save(str(root / f))
+            intr = np.eye(3)
+            intr[0, 0] = intr[1, 1] = 1200.0
+            intr[0, 2], intr[1, 2] = 800, 450
+            cam_infos[cam] = dict(
+                filename=f, calibrated_sensor=dict(camera_intrinsic=intr)
+            )
+            s2e_rot[cam] = [1.0, 0.0, 0.0, 0.0]
+            s2e_tr[cam] = [0.0, 0.0, 1.5]
+
+        n_gt = rng.randint(1, 6)
+        gt_boxes = np.zeros((n_gt, 9))
+        gt_boxes[:, 0:2] = rng.uniform(-40, 40, (n_gt, 2))
+        gt_boxes[:, 2] = rng.uniform(-2, 0, n_gt)
+        gt_boxes[:, 3:6] = rng.uniform(1, 5, (n_gt, 3))
+        gt_boxes[:, 6] = rng.uniform(-3, 3, n_gt)
+        names = rng.choice(["vehicle.car", "human.pedestrian.adult",
+                            "vehicle.truck"], n_gt)
+        infos.append(
+            dict(
+                sample_token=f"tok{i}",
+                timestamp=1e6 * i,
+                gt_boxes=gt_boxes,
+                gt_names=np.asarray(names),
+                num_lidar_pts=np.full(n_gt, 10),
+                num_radar_pts=np.zeros(n_gt),
+                car_from_global=np.eye(4),
+                ref_from_car=np.eye(4),
+                ego2global_translation=[0, 0, 0],
+                ego2global_rotation=[1, 0, 0, 0],
+                lidar_infos={"LIDAR_TOP": dict(filename=lidar_file)},
+                lidar_sweeps=sweeps,
+                cam_infos=cam_infos,
+                sensor2ego_rotations=s2e_rot,
+                sensor2ego_translations=s2e_tr,
+            )
+        )
+    for split in ("train", "val"):
+        with open(root / f"{split}_info.pkl", "wb") as f:
+            pickle.dump(infos, f)
+    return str(root)
+
+
+def _cfg(synth_root):
+    mcfg = tiny_model()
+    dcfg = DataConfig(root_path=synth_root, num_lidar_sweeps=2, use_cbgs=True)
+    return dcfg, mcfg
+
+
+def test_dataset_train_frame_shapes(synth_root):
+    dcfg, mcfg = _cfg(synth_root)
+    ds = NuScenesDataset(dcfg, mcfg, "training", seed=0)
+    assert len(ds) > 0  # CBGS resampled
+    f = ds[0]
+    caps = mcfg.caps
+    assert f["points"].shape == (caps.max_points, 5)
+    assert f["points_mask"].dtype == bool
+    ncam = mcfg.camera_encoder.num_cams
+    H, W = mcfg.camera_encoder.final_dim
+    assert f["imgs"].shape == (ncam, H, W, 3)
+    assert f["gt_boxes"].shape == (caps.max_gt_boxes, 10)
+    assert f["mats"]["ida_mats"].shape == (ncam, 4, 4)
+    # class ids are 1-based where valid
+    valid = np.abs(f["gt_boxes"]).sum(-1) > 0
+    assert (f["gt_boxes"][valid][:, 9] >= 1).all()
+    # points are inside the xy range after the filter
+    pts = f["points"][f["points_mask"]]
+    assert (np.abs(pts[:, :2]) <= 54.0 + 1e-3).all()
+
+
+def test_loader_collates_fixed_shapes(synth_root):
+    dcfg, mcfg = _cfg(synth_root)
+    ds = NuScenesDataset(dcfg, mcfg, "validation", seed=0)
+    dl = DataLoader(ds, batch_size=2, shuffle=False)
+    batches = list(dl)
+    assert len(batches) == (len(ds) + 1) // 2
+    b = batches[0]
+    assert b["points"].shape[0] == 2
+    assert b["imgs"].shape[0] == 2
+    assert len(b["meta"]) == 2
+    assert b["meta"][0]["token"] == "tok0"
+
+
+def test_eval_frame_has_no_gt_and_no_bda(synth_root):
+    dcfg, mcfg = _cfg(synth_root)
+    ds = NuScenesDataset(dcfg, mcfg, "validation", seed=0)
+    f = ds[0]
+    assert np.abs(f["gt_boxes"]).sum() == 0
+    np.testing.assert_allclose(f["mats"]["bda_mat"], np.eye(4))
+
+
+def test_submission_roundtrip(synth_root):
+    dcfg, mcfg = _cfg(synth_root)
+    ds = NuScenesDataset(dcfg, mcfg, "validation", seed=0)
+    preds = [
+        dict(
+            boxes=np.array([[1.0, 2.0, 0.5, 4.0, 2.0, 1.5, 0.3, 1.0, 0.0]]),
+            scores=np.array([0.9]),
+            labels=np.array([0]),
+        )
+        for _ in range(len(ds.infos))
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = generate_submission(preds, ds.infos, d)
+        with open(path) as f:
+            sub = json.load(f)
+    assert sub["meta"]["use_lidar"] and sub["meta"]["use_camera"]
+    assert set(sub["results"].keys()) == {f"tok{i}" for i in range(N_FRAMES)}
+    box = sub["results"]["tok0"][0]
+    assert box["detection_name"] == "car"
+    # identity ego/lidar transforms → translation unchanged
+    np.testing.assert_allclose(box["translation"], [1.0, 2.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(box["size"], [2.0, 4.0, 1.5])  # (w, l, h)
+    assert box["attribute_name"] == "vehicle.moving"  # |v| > 0.2
+    q = np.asarray(box["rotation"])
+    np.testing.assert_allclose(q, [np.cos(0.15), 0, 0, np.sin(0.15)], atol=1e-6)
+
+
+def test_mp_loader(synth_root):
+    dcfg, mcfg = _cfg(synth_root)
+    ds = NuScenesDataset(dcfg, mcfg, "validation", seed=0)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    n = 0
+    for b in dl:
+        n += b["points"].shape[0]
+    assert n == len(ds)

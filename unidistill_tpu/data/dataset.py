@@ -106,6 +106,8 @@ class NuScenesDataset:
                 continue
             ratio = frac / (len(cls_inds) / dup)
             out += self.rng.choice(cls_inds, int(len(cls_inds) * ratio)).tolist()
+        if not out:  # degenerate tiny datasets: int() truncation can zero out
+            out = list(range(len(self.infos)))
         return out
 
     def __len__(self):
@@ -137,7 +139,7 @@ class NuScenesDataset:
 
     def _load_images(self, info):
         imgs = {}
-        for cam in CAM_KEYS:
+        for cam in CAM_KEYS[: self.model_cfg.camera_encoder.num_cams]:
             f = os.path.join(self.cfg.root_path, info["cam_infos"][cam]["filename"])
             imgs[cam] = np.asarray(Image.open(f).convert("RGB"))
         return imgs
