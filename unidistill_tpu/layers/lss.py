@@ -90,7 +90,14 @@ class LSSFPN(nn.Module):
         cfg = self.cfg
         B, N, H, W, _ = imgs.shape
         x = imgs.reshape(B * N, H, W, 3)
-        feats = ResNet(dtype=self.dtype, name="img_backbone")(x, train)
+        if cfg.img_backbone == "swin":
+            from unidistill_tpu.layers.swin import SwinTransformer
+
+            feats = SwinTransformer(dtype=self.dtype, name="img_backbone")(
+                x, train
+            )
+        else:
+            feats = ResNet(dtype=self.dtype, name="img_backbone")(x, train)
         neck = SECONDFPN(
             out_channels=cfg.img_neck_out_channels,
             upsample_strides=cfg.img_neck_upsample_strides,
