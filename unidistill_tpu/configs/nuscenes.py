@@ -280,6 +280,10 @@ class TrainConfig:
     lr_gamma: float = 0.1
     grad_clip_value: float = 0.1
     seed: int = 0
+    # Per-module LR multipliers, e.g. (("camera_encoder", 0.1),). The
+    # reference declares this knob but never wires it (…base_exp.py:290);
+    # default off to match its effective behavior.
+    lr_scale_factor: Optional[Tuple[Tuple[str, float], ...]] = None
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,8 @@ class Trainer:
         self.tx = make_optimizer(
             tcfg.lr, tcfg.weight_decay, tcfg.grad_clip_value,
             tcfg.lr_milestones, tcfg.lr_gamma, steps_per_epoch,
+            lr_scale_factor=dict(tcfg.lr_scale_factor)
+            if tcfg.lr_scale_factor else None,
         )
         kw = model_inputs(
             jax.tree.map(lambda x: jnp.asarray(x[:1]), sample_batch),
@@ -153,6 +155,7 @@ class Trainer:
         print_interval: int = 50,
         resume_from: Optional[str] = None,
         teacher=None,
+        profile_steps: Optional[tuple] = None,
     ):
         """teacher: optional (model, cfg, dcfg, params, batch_stats) tuple for
         distillation training."""
@@ -192,10 +195,17 @@ class Trainer:
                     if k not in ("meta", "gt_boxes_raw")
                 }
                 dev_batch = jax.tree.map(jnp.asarray, dev_batch)
+                if profile_steps and step == profile_steps[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(self.output_dir, "profile")
+                    )
                 if distill_ctx is None:
                     state, metrics = step_fn(state, dev_batch)
                 else:
                     state, metrics = step_fn(state, t_params, t_stats, dev_batch)
+                if profile_steps and step == profile_steps[1]:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
                 step += 1
                 if step % print_interval == 0:
                     m = jax.device_get(metrics)

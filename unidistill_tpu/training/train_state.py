@@ -33,11 +33,34 @@ def make_optimizer(
     milestones_epochs=(10, 15),
     gamma: float = 0.1,
     steps_per_epoch: int = 1,
+    lr_scale_factor: Optional[Dict[str, float]] = None,
 ) -> optax.GradientTransformation:
+    """AdamW + MultiStepLR + global-norm clip.
+
+    `lr_scale_factor`: per-top-level-module LR multipliers (e.g.
+    {"camera_encoder": 0.1}). The reference declares this knob
+    (…base_exp.py:290) but never wires it into its optimizer; here it works.
+    """
     sched = multistep_lr(lr, milestones_epochs, gamma, steps_per_epoch)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, weight_decay=weight_decay),
+    )
+    if not lr_scale_factor:
+        return tx
+
+    def scale_tree(updates):
+        def scale(path, u):
+            top = path[0].key if path else ""
+            return u * lr_scale_factor.get(top, 1.0)
+
+        import jax
+
+        return jax.tree_util.tree_map_with_path(scale, updates)
+
+    return optax.chain(
+        tx,
+        optax.stateless(lambda updates, params=None: scale_tree(updates)),
     )
 
 
