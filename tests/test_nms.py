@@ -70,6 +70,22 @@ def test_rotated_intersection_vs_monte_carlo():
         assert abs(inter[i] - ref) < 0.12, (i, inter[i], ref)
 
 
+def test_pallas_iou_matches_xla():
+    from unidistill_tpu.ops.nms import rotated_iou_bev_pallas
+
+    rng = np.random.RandomState(11)
+    a = np.stack(
+        [rng.uniform(-20, 20, 70), rng.uniform(-20, 20, 70),
+         rng.uniform(1, 5, 70), rng.uniform(1, 5, 70),
+         rng.uniform(-np.pi, np.pi, 70)], -1).astype(np.float32)
+    ref = np.asarray(rotated_iou_bev(jnp.asarray(a), jnp.asarray(a)))
+    got = np.asarray(
+        rotated_iou_bev_pallas(jnp.asarray(a), jnp.asarray(a), block=64,
+                               interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_greedy_nms_matches_numpy():
     rng = np.random.RandomState(8)
     K = 64

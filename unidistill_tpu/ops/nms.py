@@ -37,48 +37,6 @@ def _cross(o, a, b):
     ) * (b[..., 0] - o[..., 0])
 
 
-def _point_in_quad(pts, quad):
-    """pts [..., P, 2] inside convex quad [..., 4, 2] (ccw)? -> [..., P] bool."""
-    p = pts[..., :, None, :]  # [..., P, 1, 2]
-    a = quad[..., None, :, :]  # [..., 1, 4, 2]
-    b = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
-    cr = (b[..., 0] - a[..., 0]) * (p[..., 1] - a[..., 1]) - (
-        b[..., 1] - a[..., 1]
-    ) * (p[..., 0] - a[..., 0])
-    return jnp.all(cr >= -_EPS, axis=-1)
-
-
-def _seg_intersections(qa, qb):
-    """All 16 edge-edge intersection points of two quads.
-
-    qa, qb: [..., 4, 2]. Returns pts [..., 16, 2], valid [..., 16].
-    """
-    a0 = qa[..., :, None, :]  # [..., 4, 1, 2]
-    a1 = jnp.roll(qa, -1, axis=-2)[..., :, None, :]
-    b0 = qb[..., None, :, :]  # [..., 1, 4, 2]
-    b1 = jnp.roll(qb, -1, axis=-2)[..., None, :, :]
-    da = a1 - a0
-    db = b1 - b0
-    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
-    diff = b0 - a0
-    t = (diff[..., 0] * db[..., 1] - diff[..., 1] * db[..., 0]) / (
-        jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
-    )
-    u = (diff[..., 0] * da[..., 1] - diff[..., 1] * da[..., 0]) / (
-        jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
-    )
-    valid = (
-        (jnp.abs(denom) >= _EPS)
-        & (t >= -_EPS)
-        & (t <= 1 + _EPS)
-        & (u >= -_EPS)
-        & (u <= 1 + _EPS)
-    )
-    pt = a0 + t[..., None] * da
-    shp = pt.shape[:-3] + (16, 2)
-    return pt.reshape(shp), valid.reshape(shp[:-1])
-
-
 def _clipped_edge_contrib(p0, p1, quad, exclude_boundary=False):
     """Shoelace contribution of the part of segment p0→p1 inside convex quad.
 
@@ -91,7 +49,8 @@ def _clipped_edge_contrib(p0, p1, quad, exclude_boundary=False):
     """
     d = p1 - p0
     a = quad  # [..., 4, 2]
-    b = jnp.roll(quad, -1, axis=-2)
+    # next-vertex (static slicing instead of roll: lowers in Pallas/Mosaic)
+    b = jnp.concatenate([quad[..., 1:, :], quad[..., :1, :]], axis=-2)
     e = b - a  # edge vectors
     # inward UNIT normal of ccw edge (a→b); normalizing makes `num` a signed
     # distance in meters and `den` a projection of d, so epsilon thresholds
@@ -99,9 +58,14 @@ def _clipped_edge_contrib(p0, p1, quad, exclude_boundary=False):
     elen = jnp.sqrt(e[..., 0] ** 2 + e[..., 1] ** 2) + _EPS
     nx = -(e[..., 1]) / elen
     ny = e[..., 0] / elen
-    p0e = p0[..., None, :]
-    den = nx * d[..., None, 0] + ny * d[..., None, 1]  # [..., 4]
-    num = nx * (a[..., 0] - p0e[..., 0]) + ny * (a[..., 1] - p0e[..., 1])
+    # (expand-then-index `d[..., None, 0]` lowers to an unsupported >2D
+    # gather in Mosaic; index first, then broadcast)
+    dx = d[..., 0][..., None]
+    dy = d[..., 1][..., None]
+    px0 = p0[..., 0][..., None]
+    py0 = p0[..., 1][..., None]
+    den = nx * dx + ny * dy  # [..., 4]
+    num = nx * (a[..., 0] - px0) + ny * (a[..., 1] - py0)
     dlen = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)[..., None] + _EPS
     PAR = 1e-5  # |den| below PAR·|d| → treat as parallel to the half-plane
     BND = 1e-5  # boundary tolerance in meters
@@ -159,6 +123,56 @@ def rotated_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, block: int = 128
 
     blocks = jax.lax.map(row_block, a.reshape(-1, block, 5))
     return blocks.reshape(-1, boxes_b.shape[0])[:M]
+
+
+def _iou_block_kernel(a_ref, b_ref, out_ref):
+    """One [BA, BB] IoU tile, all intermediates VMEM-resident."""
+    a = a_ref[:]  # [BA, 8] padded (cx, cy, dx, dy, rot, 0, 0, 0)
+    b = b_ref[:]
+    # avoid fancy slicing ([:, None, :5] lowers to an unsupported gather in
+    # Mosaic); rotated_intersection_area only reads columns 0..4 statically.
+    inter = rotated_intersection_area(a[:, None, :], b[None, :, :])
+    area_a = a[:, 2] * a[:, 3]
+    area_b = b[:, 2] * b[:, 3]
+    out_ref[:] = inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, _EPS)
+
+
+def rotated_iou_bev_pallas(
+    boxes_a: jnp.ndarray,
+    boxes_b: jnp.ndarray,
+    block: int = 256,
+    interpret: bool = False,
+):
+    """Pallas-tiled pairwise rotated IoU.
+
+    The XLA version materializes [M, N, 4]-shaped clip intermediates in HBM
+    (~16 ms for 4×1500² on v5e); tiling pair-blocks into VMEM makes the
+    kernel compute-bound. Same tested math — the tile kernel reuses
+    `rotated_intersection_area` on VMEM-resident blocks.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N = boxes_a.shape[0], boxes_b.shape[0]
+    pm, pn = (-M) % block, (-N) % block
+    a = jnp.pad(boxes_a.astype(jnp.float32), ((0, pm), (0, 3)))
+    b = jnp.pad(boxes_b.astype(jnp.float32), ((0, pn), (0, 3)))
+
+    out = pl.pallas_call(
+        _iou_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((M + pm, N + pn), jnp.float32),
+        grid=((M + pm) // block, (N + pn) // block),
+        in_specs=[
+            pl.BlockSpec((block, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, b)
+    return out[:M, :N]
 
 
 def nms_bev(
