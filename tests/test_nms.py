@@ -114,3 +114,77 @@ def test_greedy_nms_matches_numpy():
             alive[i] = False
     ref = ref[:20]
     assert ours == ref
+
+
+def test_pallas_iou_batched_lanes_matches_xla():
+    from unidistill_tpu.ops.nms import rotated_iou_bev_pallas
+    import jax
+
+    rng = np.random.RandomState(3)
+    L, N = 3, 70
+    a = np.stack(
+        [rng.uniform(-20, 20, (L, N)), rng.uniform(-20, 20, (L, N)),
+         rng.uniform(1, 5, (L, N)), rng.uniform(1, 5, (L, N)),
+         rng.uniform(-np.pi, np.pi, (L, N))], -1).astype(np.float32)
+    ref = np.asarray(jax.vmap(rotated_iou_bev)(jnp.asarray(a), jnp.asarray(a)))
+    got = np.asarray(
+        rotated_iou_bev_pallas(jnp.asarray(a), jnp.asarray(a), block=64,
+                               interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def _rand_sorted_lanes(rng, L, K, n_invalid=5):
+    boxes7 = np.zeros((L, K, 7), np.float32)
+    boxes7[..., 0:2] = rng.uniform(-10, 10, (L, K, 2))
+    boxes7[..., 3:5] = rng.uniform(2, 5, (L, K, 2))
+    boxes7[..., 6] = rng.uniform(-np.pi, np.pi, (L, K))
+    scores = np.sort(rng.uniform(0, 1, (L, K)), axis=-1)[:, ::-1].copy()
+    valid = np.ones((L, K), bool)
+    valid[:, -n_invalid:] = False
+    return boxes7, scores, valid
+
+
+def test_batched_blocked_nms_matches_single_lane():
+    """nms_bev_batched (blocked greedy, lanes) == nms_bev (row-serial oracle)."""
+    import jax
+    from unidistill_tpu.ops.nms import nms_bev_batched
+
+    rng = np.random.RandomState(21)
+    L, K, post, thr = 4, 128, 30, 0.2
+    boxes7, scores, valid = _rand_sorted_lanes(rng, L, K)
+
+    bi, bm = nms_bev_batched(
+        jnp.asarray(boxes7), jnp.asarray(valid), thr, post,
+        cap=K, use_pallas=False,
+    )
+    si, sm = jax.vmap(lambda b, s, v: nms_bev(b, s, v, thr, post))(
+        jnp.asarray(boxes7), jnp.asarray(scores), jnp.asarray(valid)
+    )
+    np.testing.assert_array_equal(np.asarray(bm), np.asarray(sm))
+    got = np.where(np.asarray(bm), np.asarray(bi), -1)
+    ref = np.where(np.asarray(sm), np.asarray(si), -1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_batched_nms_cap_slices_top_rows():
+    """cap < K must equal running single-lane NMS on the top-cap rows."""
+    import jax
+    from unidistill_tpu.ops.nms import nms_bev_batched
+
+    rng = np.random.RandomState(5)
+    L, K, cap, post, thr = 2, 192, 64, 20, 0.3
+    boxes7, scores, valid = _rand_sorted_lanes(rng, L, K)
+
+    bi, bm = nms_bev_batched(
+        jnp.asarray(boxes7), jnp.asarray(valid), thr, post,
+        cap=cap, use_pallas=False,
+    )
+    si, sm = jax.vmap(lambda b, s, v: nms_bev(b, s, v, thr, post))(
+        jnp.asarray(boxes7[:, :cap]), jnp.asarray(scores[:, :cap]),
+        jnp.asarray(valid[:, :cap]),
+    )
+    np.testing.assert_array_equal(np.asarray(bm), np.asarray(sm))
+    got = np.where(np.asarray(bm), np.asarray(bi), -1)
+    ref = np.where(np.asarray(sm), np.asarray(si), -1)
+    np.testing.assert_array_equal(got, ref)

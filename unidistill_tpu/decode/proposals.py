@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from unidistill_tpu.configs.nuscenes import ProposalConfig
-from unidistill_tpu.ops.nms import nms_bev
+from unidistill_tpu.ops.nms import nms_bev_batched
 
 
 def decode_task(
@@ -108,32 +108,53 @@ def generate_proposals(
     thr = cfg.nms_iou_threshold_train if training else cfg.nms_iou_threshold_test
     post = cfg.nms_post_max_size_train if training else cfg.nms_post_max_size_test
 
-    all_boxes, all_scores, all_labels, all_mask = [], [], [], []
-    offset = 1  # class labels start from 1 (ref :209)
-    for tid, task_classes in enumerate(tasks):
-        boxes, scores, nms_scores, clses, valid = decode_task(
+    # Decode every task, then run ONE batched NMS over all (task, sample)
+    # lanes: a single suppression loop over [T·B] lanes instead of T
+    # sequential vmapped loops — the serial greedy iterations amortize
+    # across tasks, and the Pallas IoU kernel sees one big grid.
+    dec = [
+        decode_task(
             preds[tid], cfg, tid, pc_range, voxel_size, out_size_factor, training
         )
-        boxes7 = jnp.concatenate([boxes[..., :6], boxes[..., 6:7]], axis=-1)
+        for tid in range(len(tasks))
+    ]
+    # per-task K can differ on tiny grids (K clamps to ncls·H·W); pad each
+    # task to the common max with invalid rows before stacking into lanes.
+    Kmax = max(d[0].shape[1] for d in dec)
+    pad = lambda a, t: jnp.pad(
+        a, ((0, 0), (0, Kmax - a.shape[1])) + ((0, 0),) * (a.ndim - 2),
+        constant_values=t,
+    )
+    boxes = jnp.stack([pad(d[0], 0.0) for d in dec])  # [T, B, K, 9]
+    scores = jnp.stack([pad(d[1], 0.0) for d in dec])
+    clses = jnp.stack([pad(d[3], 0) for d in dec])
+    valid = jnp.stack([pad(d[4], False) for d in dec])
+    T, B, K = boxes.shape[:3]
+    lanes = lambda a: a.reshape((T * B,) + a.shape[2:])
+    boxes7 = lanes(boxes[..., :7])
+    keep_idx, keep_mask = nms_bev_batched(
+        boxes7, lanes(valid), thr, post, cap=cfg.nms_cap
+    )  # [T*B, post]
+    cap = min(cfg.nms_cap, K)
+    gidx = jnp.minimum(keep_idx, cap - 1)
+    kb = jnp.take_along_axis(lanes(boxes)[:, :cap], gidx[..., None], axis=1)
+    ks = jnp.take_along_axis(lanes(scores)[:, :cap], gidx, axis=1)
+    kc = jnp.take_along_axis(lanes(clses)[:, :cap], gidx, axis=1)
 
-        def one(b7, ns, v):
-            return nms_bev(b7, ns, v, thr, post)
+    # per-task global label offsets (labels start from 1, ref :209)
+    offsets = jnp.asarray(
+        [1 + sum(len(t) for t in tasks[:tid]) for tid in range(len(tasks))],
+        dtype=kc.dtype,
+    )
+    kl = kc + offsets.repeat(B)[:, None]
 
-        keep_idx, keep_mask = jax.vmap(one)(boxes7, nms_scores, valid)  # [B, post]
-        K = boxes.shape[1]
-        gidx = jnp.minimum(keep_idx, K - 1)
-        kb = jnp.take_along_axis(boxes, gidx[..., None], axis=1)
-        ks = jnp.take_along_axis(scores, gidx, axis=1)
-        kl = jnp.take_along_axis(clses, gidx, axis=1) + offset
-        all_boxes.append(jnp.where(keep_mask[..., None], kb, 0.0))
-        all_scores.append(jnp.where(keep_mask, ks, 0.0))
-        all_labels.append(jnp.where(keep_mask, kl, 0))
-        all_mask.append(keep_mask)
-        offset += len(task_classes)
-
+    unlane = lambda a: a.reshape((T, B) + a.shape[1:])
+    kb, ks, kl, keep_mask = map(unlane, (kb, ks, kl, keep_mask))
+    # [T, B, post] -> [B, T*post] (task-major concat, matching the ref merge)
+    merge = lambda a: jnp.concatenate([a[t] for t in range(T)], axis=1)
     return dict(
-        boxes=jnp.concatenate(all_boxes, axis=1),
-        scores=jnp.concatenate(all_scores, axis=1),
-        labels=jnp.concatenate(all_labels, axis=1),
-        mask=jnp.concatenate(all_mask, axis=1),
+        boxes=merge(jnp.where(keep_mask[..., None], kb, 0.0)),
+        scores=merge(jnp.where(keep_mask, ks, 0.0)),
+        labels=merge(jnp.where(keep_mask, kl, 0)),
+        mask=merge(keep_mask),
     )

@@ -12,6 +12,8 @@ alive-mask — no dynamic shapes, output is a fixed-size index buffer + count.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -125,16 +127,84 @@ def rotated_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, block: int = 128
     return blocks.reshape(-1, boxes_b.shape[0])[:M]
 
 
-def _iou_block_kernel(a_ref, b_ref, out_ref):
-    """One [BA, BB] IoU tile, all intermediates VMEM-resident."""
-    a = a_ref[:]  # [BA, 8] padded (cx, cy, dx, dy, rot, 0, 0, 0)
-    b = b_ref[:]
-    # avoid fancy slicing ([:, None, :5] lowers to an unsupported gather in
-    # Mosaic); rotated_intersection_area only reads columns 0..4 statically.
-    inter = rotated_intersection_area(a[:, None, :], b[None, :, :])
+def _corner_xy_lists(cx, cy, dx, dy, r):
+    """Per-coordinate ccw corners of rotated rects; returns (xs, ys) lists of
+    4 arrays, each the shape of the inputs. Written without any stacked
+    trailing-4 axis so a Pallas tile sees only 2D intermediates."""
+    c, s = jnp.cos(r), jnp.sin(r)
+    hx, hy = dx * 0.5, dy * 0.5
+    xs, ys = [], []
+    for sx, sy in ((1, 1), (-1, 1), (-1, -1), (1, -1)):
+        lx, ly = sx * hx, sy * hy
+        xs.append(cx + lx * c - ly * s)
+        ys.append(cy + lx * s + ly * c)
+    return xs, ys
+
+
+def _clip_contrib_2d(p0x, p0y, p1x, p1y, qxs, qys, exclude_boundary):
+    """Shoelace contribution of segment p0→p1 clipped to the convex quad with
+    ccw corner lists (qxs, qys) — same math as `_clipped_edge_contrib`, but
+    the 4-half-plane loop is unrolled in Python so every intermediate is a
+    plain broadcast tile (Mosaic compiles [B, B, 4] layouts pathologically
+    slowly; [B, B] elementwise is its fast path)."""
+    dx = p1x - p0x
+    dy = p1y - p0y
+    dlen = jnp.sqrt(dx * dx + dy * dy) + _EPS
+    PAR = 1e-5
+    BND = 1e-5
+    thresh = -BND if exclude_boundary else BND
+    t_lo = 0.0
+    t_hi = 1.0
+    par_out = False
+    for i in range(4):
+        ax, ay = qxs[i], qys[i]
+        bx, by = qxs[(i + 1) % 4], qys[(i + 1) % 4]
+        ex, ey = bx - ax, by - ay
+        elen = jnp.sqrt(ex * ex + ey * ey) + _EPS
+        nx, ny = -ey / elen, ex / elen  # inward unit normal (ccw quad)
+        den = nx * dx + ny * dy
+        num = nx * (ax - p0x) + ny * (ay - p0y)
+        is_par = jnp.abs(den) <= PAR * dlen
+        t = num / jnp.where(is_par, 1.0, den)
+        t_lo = jnp.maximum(t_lo, jnp.where(~is_par & (den > 0), t, 0.0))
+        t_hi = jnp.minimum(t_hi, jnp.where(~is_par & (den < 0), t, 1.0))
+        par_out = par_out | (is_par & (num > thresh))
+    t0 = jnp.clip(t_lo, 0.0, 1.0)
+    t1 = jnp.clip(t_hi, 0.0, 1.0)
+    ok = (t1 > t0) & ~par_out
+    q0x = p0x + t0 * dx
+    q0y = p0y + t0 * dy
+    q1x = p0x + t1 * dx
+    q1y = p0y + t1 * dy
+    return jnp.where(ok, q0x * q1y - q0y * q1x, 0.0)
+
+
+def _intersection_area_tile(a, b):
+    """[BA, ≥5] x [BB, ≥5] -> [BA, BB] rotated intersection areas with only
+    2D intermediates (the Pallas tile kernel body)."""
+    col = lambda m, i, axis: (m[:, i][:, None] if axis == 0 else m[:, i][None, :])
+    axs, ays = _corner_xy_lists(*(col(a, i, 0) for i in range(5)))
+    bxs, bys = _corner_xy_lists(*(col(b, i, 1) for i in range(5)))
+    total = 0.0
+    for i in range(4):
+        total = total + _clip_contrib_2d(
+            axs[i], ays[i], axs[(i + 1) % 4], ays[(i + 1) % 4],
+            bxs, bys, exclude_boundary=False,
+        )
+        total = total + _clip_contrib_2d(
+            bxs[i], bys[i], bxs[(i + 1) % 4], bys[(i + 1) % 4],
+            axs, ays, exclude_boundary=True,
+        )
+    return jnp.maximum(0.5 * total, 0.0)
+
+
+def _iou_block_kernel_2d(a, b, out_ref):
+    """[BA, 8] x [BB, 8] -> out_ref[...] = [1?, BA, BB] IoU tile."""
+    inter = _intersection_area_tile(a, b)
     area_a = a[:, 2] * a[:, 3]
     area_b = b[:, 2] * b[:, 3]
-    out_ref[:] = inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, _EPS)
+    iou = inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, _EPS)
+    out_ref[:] = iou.reshape(out_ref.shape)
 
 
 def rotated_iou_bev_pallas(
@@ -147,32 +217,143 @@ def rotated_iou_bev_pallas(
 
     The XLA version materializes [M, N, 4]-shaped clip intermediates in HBM
     (~16 ms for 4×1500² on v5e); tiling pair-blocks into VMEM makes the
-    kernel compute-bound. Same tested math — the tile kernel reuses
-    `rotated_intersection_area` on VMEM-resident blocks.
+    kernel compute-bound. The tile body (`_intersection_area_tile`) is the
+    same clip math restructured to pure-2D intermediates.
+
+    Accepts [M, 5] x [N, 5] -> [M, N], or batched lanes [L, M, 5] x
+    [L, N, 5] -> [L, M, N] (lanes become the leading grid dimension).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    M, N = boxes_a.shape[0], boxes_b.shape[0]
+    batched = boxes_a.ndim == 3
+    if not batched:
+        boxes_a, boxes_b = boxes_a[None], boxes_b[None]
+    L, M = boxes_a.shape[0], boxes_a.shape[1]
+    N = boxes_b.shape[1]
     pm, pn = (-M) % block, (-N) % block
-    a = jnp.pad(boxes_a.astype(jnp.float32), ((0, pm), (0, 3)))
-    b = jnp.pad(boxes_b.astype(jnp.float32), ((0, pn), (0, 3)))
+    a = jnp.pad(boxes_a.astype(jnp.float32), ((0, 0), (0, pm), (0, 3)))
+    b = jnp.pad(boxes_b.astype(jnp.float32), ((0, 0), (0, pn), (0, 3)))
+
+    def kernel(a_ref, b_ref, out_ref):
+        _iou_block_kernel_2d(a_ref[0], b_ref[0], out_ref)
 
     out = pl.pallas_call(
-        _iou_block_kernel,
-        out_shape=jax.ShapeDtypeStruct((M + pm, N + pn), jnp.float32),
-        grid=((M + pm) // block, (N + pn) // block),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, M + pm, N + pn), jnp.float32),
+        grid=(L, (M + pm) // block, (N + pn) // block),
         in_specs=[
-            pl.BlockSpec((block, 8), lambda i, j: (i, 0),
+            pl.BlockSpec((1, block, 8), lambda l, i, j: (l, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 8), lambda i, j: (j, 0),
+            pl.BlockSpec((1, block, 8), lambda l, i, j: (l, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, block, block), lambda l, i, j: (l, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(a, b)
-    return out[:M, :N]
+    out = out[:, :M, :N]
+    return out if batched else out[0]
+
+
+def _greedy_suppress_blocked(over, valid, block_t: int = 64):
+    """Greedy NMS suppression over score-sorted rows, blocked for TPU.
+
+    The naive formulation runs one `fori_loop` iteration per row, each
+    touching a full [C]-row of the IoU matrix — C serial steps of [C] work
+    per lane per task. Here rows are processed in blocks of `block_t`: an
+    inner serial loop resolves suppression *within* the block on tiny [L, T]
+    vectors, then one batched [L, T, C] reduction suppresses all later rows
+    at once. Same greedy result (suppression only ever flows from
+    higher-scored to lower-scored rows, and IoU is symmetric).
+
+    over: [L, C, C] bool (iou > thresh), valid: [L, C] bool. Returns alive
+    [L, C] bool.
+    """
+    L, C, _ = over.shape
+    T = min(block_t, C)
+    assert C % T == 0, f"NMS cap {C} must be divisible by block {T}"
+    later_base = jnp.arange(C)
+
+    def outer(b, alive):
+        start = b * T
+        sub = jax.lax.dynamic_slice(over, (0, start, start), (L, T, T))
+        blk = jax.lax.dynamic_slice(alive, (0, start), (L, T))
+
+        def inner(i, blk):
+            kill = sub[:, i, :] & blk[:, i][:, None]  # [L, T]
+            return blk & ~kill.at[:, i].set(False)
+
+        blk = jax.lax.fori_loop(0, T, inner, blk)
+        alive = jax.lax.dynamic_update_slice(alive, blk, (0, start))
+        rows = jax.lax.dynamic_slice(over, (0, start, 0), (L, T, C))
+        sup = jnp.any(rows & blk[:, :, None], axis=1)  # [L, C]
+        later = later_base >= start + T
+        return alive & ~(sup & later[None, :])
+
+    return jax.lax.fori_loop(0, C // T, outer, valid)
+
+
+def _keep_select(alive, post_max_size: int):
+    """First `post_max_size` alive indices in row order. alive: [C] bool."""
+    C = alive.shape[0]
+    rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    keep_idx = jnp.full((post_max_size,), C, dtype=jnp.int32)
+    src = jnp.arange(C, dtype=jnp.int32)
+    keep_idx = keep_idx.at[jnp.where(alive, rank, post_max_size)].set(
+        src, mode="drop"
+    )
+    return keep_idx, keep_idx < C
+
+
+def nms_bev_batched(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    post_max_size: int,
+    cap: int = 512,
+    use_pallas: bool = False,
+):
+    """Batched greedy rotated-BEV NMS over independent lanes.
+
+    Args:
+      boxes: [L, K, 7] (x, y, z, dx, dy, dz, rot), each lane already sorted
+        by its NMS score descending with invalid rows pushed to the bottom.
+      valid: [L, K] bool.
+      iou_threshold: suppression threshold.
+      post_max_size: static per-lane output cap.
+      cap: static cap on NMS candidates per lane — only the top-`cap`
+        score-sorted rows enter the IoU matrix (the reference's dynamic
+        score-threshold filter keeps far fewer than this at thr=0.1; rows
+        beyond the cap are treated as suppressed).
+      use_pallas: opt into the Pallas IoU kernel. Default False: at the
+        capped size the XLA path runs in <1 ms on v5e (measured: 24 lanes ×
+        512² in 0.6 ms), while Mosaic's compile time for the clip kernel is
+        pathological (minutes even at block 128 — the unrolled polygon-clip
+        graph, not the runtime, is the cost).
+
+    Returns keep_idx [L, post_max_size] int32 (indices < cap; padded with
+    cap) and keep_mask [L, post_max_size] bool.
+    """
+    L, K = boxes.shape[:2]
+    C = min(cap, K)
+    assert post_max_size <= C
+    b = boxes[:, :C]
+    v = valid[:, :C]
+    # round C up to the suppression-block multiple with invalid rows
+    pad = (-C) % 64
+    if pad:
+        b = jnp.pad(b, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+        C += pad
+    bev = jnp.concatenate([b[..., 0:2], b[..., 3:5], b[..., 6:7]], axis=-1)
+    if use_pallas:
+        iou = rotated_iou_bev_pallas(bev, bev, block=min(256, C))
+    else:
+        iou = jax.vmap(rotated_iou_bev)(bev, bev)
+    over = (iou > iou_threshold) & v[:, None, :]
+    alive = _greedy_suppress_blocked(over, v)
+    return jax.vmap(_keep_select, in_axes=(0, None))(alive, post_max_size)
 
 
 def nms_bev(
@@ -182,7 +363,7 @@ def nms_bev(
     iou_threshold: float,
     post_max_size: int,
 ):
-    """Greedy rotated-BEV NMS.
+    """Greedy rotated-BEV NMS, single lane (reference semantics oracle).
 
     Args:
       boxes: [K, 7] (x, y, z, dx, dy, dz, rot) — K is the pre-NMS cap; rows
@@ -209,12 +390,4 @@ def nms_bev(
         return jnp.where(keep_i, alive & ~suppress_from[i].at[i].set(False), alive)
 
     alive = jax.lax.fori_loop(0, K, body, valid)
-    # select first post_max_size alive indices in score order
-    rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    keep_idx = jnp.full((post_max_size,), K, dtype=jnp.int32)
-    src = jnp.arange(K, dtype=jnp.int32)
-    keep_idx = keep_idx.at[jnp.where(alive, rank, post_max_size)].set(
-        src, mode="drop"
-    )
-    keep_mask = keep_idx < K
-    return keep_idx, keep_mask
+    return _keep_select(alive, post_max_size)
