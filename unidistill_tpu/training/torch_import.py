@@ -164,18 +164,44 @@ def _import_bev_backbone(b: TreeBuilder, sd, t: str, j: str, layer_nums,
 
 
 def _import_center_head(b: TreeBuilder, sd, t: str, j: str, tasks, common_heads):
+    """Pack the reference's per-branch SepHead weights into our fused layout
+    (layers/center_head.py: one conv0 64→G·64, one block-diag out kernel).
+    Branch order must match `center_head.branch_list`."""
+    from unidistill_tpu.layers.center_head import branch_list
+
     b.add_conv(sd, f"{t}.shared_conv.0", f"{j}/shared_conv", bias=True)
     b.add_bn(sd, f"{t}.shared_conv.1", f"{j}/shared_bn")
-    for tid, classes in enumerate(tasks):
-        heads = list(common_heads) + [("hm", (len(classes), 2))]
-        for name, (ch, num_conv) in heads:
-            tb = f"{t}.tasks.{tid}.{name}"
-            jb = f"{j}/task{tid}"
-            for i in range(num_conv - 1):
-                b.add_conv(sd, f"{tb}.{3 * i}", f"{jb}/{name}_conv{i}", bias=True)
-                b.add_bn(sd, f"{tb}.{3 * i + 1}", f"{jb}/{name}_bn{i}")
-            b.add_conv(sd, f"{tb}.{3 * (num_conv - 1)}", f"{jb}/{name}_out",
-                       bias=True)
+
+    branches = branch_list(tuple(tasks), tuple(common_heads))
+    o_max = max(ch for _, _, ch in branches)
+    heads_by_name = {n: nc for n, (_c, nc) in common_heads}
+    k0, b0, s0, be0, m0, v0, wk, wb = [], [], [], [], [], [], [], []
+    for tid, name, ch in branches:
+        num_conv = heads_by_name.get(name, 2)
+        assert num_conv == 2, (
+            f"fused head supports num_conv=2 (ref config value); got "
+            f"{num_conv} for {name}"
+        )
+        tb = f"{t}.tasks.{tid}.{name}"
+        # torch Sequential layout: 0 conv, 1 bn, 2 relu, 3 out conv
+        k0.append(conv2d(sd[f"{tb}.0.weight"]))
+        b0.append(sd[f"{tb}.0.bias"])
+        s0.append(sd[f"{tb}.1.weight"])
+        be0.append(sd[f"{tb}.1.bias"])
+        m0.append(sd[f"{tb}.1.running_mean"])
+        v0.append(sd[f"{tb}.1.running_var"])
+        wo = conv2d(sd[f"{tb}.3.weight"])  # [3, 3, hc, ch]
+        wk.append(np.pad(wo, ((0, 0), (0, 0), (0, 0), (0, o_max - ch))))
+        wb.append(np.pad(sd[f"{tb}.3.bias"], (0, o_max - ch)))
+
+    b.set(b.params, f"{j}/branches_conv0/kernel", np.concatenate(k0, axis=-1))
+    b.set(b.params, f"{j}/branches_conv0/bias", np.concatenate(b0))
+    b.set(b.params, f"{j}/branches_bn0/scale", np.concatenate(s0))
+    b.set(b.params, f"{j}/branches_bn0/bias", np.concatenate(be0))
+    b.set(b.stats, f"{j}/branches_bn0/mean", np.concatenate(m0))
+    b.set(b.stats, f"{j}/branches_bn0/var", np.concatenate(v0))
+    b.set(b.params, f"{j}/out_kernel", np.stack(wk, axis=2))
+    b.set(b.params, f"{j}/out_bias", np.stack(wb, axis=0))
 
 
 def convert_state_dict(sd: Dict[str, np.ndarray], cfg) -> Tuple[Dict, Dict]:
