@@ -188,3 +188,28 @@ def test_batched_nms_cap_slices_top_rows():
     got = np.where(np.asarray(bm), np.asarray(bi), -1)
     ref = np.where(np.asarray(sm), np.asarray(si), -1)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_upper_blocked_iou_matches_full():
+    """rotated_iou_upper_blocked == upper triangle of the oracle IoU."""
+    import jax
+    from unidistill_tpu.ops.nms import rotated_iou_upper_blocked
+
+    rng = np.random.RandomState(9)
+    L, C = 3, 128
+    b = np.zeros((L, C, 5), np.float32)
+    b[..., 0:2] = rng.uniform(-30, 30, (L, C, 2))
+    b[..., 2:4] = rng.uniform(1, 6, (L, C, 2))
+    b[..., 4] = rng.uniform(-np.pi, np.pi, (L, C))
+    # add exact duplicates + touching boxes to hit the boundary paths
+    b[:, 1] = b[:, 0]
+    b[:, 3, :] = b[:, 2, :]
+    b[:, 3, 0] += b[:, 2, 2]  # translated by width: edge-touching
+
+    full = np.asarray(jax.vmap(rotated_iou_bev)(jnp.asarray(b), jnp.asarray(b)))
+    tri = np.triu(np.ones((C, C), bool), k=1)
+    ref = np.where(tri[None], full, 0.0)
+    got = np.asarray(rotated_iou_upper_blocked(jnp.asarray(b), block=64))
+    # atol 1e-4: the hoisted plane-offset formulation (c − n·p vs n·(a−p))
+    # reassociates fp ops; near-zero sliver intersections differ by ~5e-5
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
