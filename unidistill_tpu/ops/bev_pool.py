@@ -126,8 +126,8 @@ def bev_pool_outer(
 # XLA's scatter-add on TPU costs ~65 ns per index regardless of row width
 # (measured: 31 ms for the nuScenes camera shapes at batch 4 — the eval
 # step's single largest op). A Pallas kernel holding the BEV accumulator
-# VMEM-resident and streaming point chunks does the same scatter at ~0.4 ns
-# per point (measured: 0.17 ms per sample×128-channel chunk, max rel err
+# VMEM-resident and streaming point chunks does the same scatter at ~4 ns
+# per point (measured: ~8 ms for all 1.9M points at batch 4, max rel err
 # 2e-7 vs the XLA scatter). Per point it reads the cell index, ray id and
 # depth weight from SMEM, gathers the ray's context row from a VMEM-resident
 # table, scales and row-accumulates:
@@ -175,7 +175,7 @@ def _pool_kernel(idx_ref, ray_ref, depth_ref, ctx_ref, out_ref):
 
 
 def _bev_pool_scatter_pallas(idx, rays, depth_flat, context, ncells: int,
-                             interpret: bool = False):
+                             interpret: bool = False, dump_rows: int = 1):
     """One fused scatter pass.
 
     idx / rays / depth_flat: [B, NPT] (NPT a multiple of _POOL_CHUNK; idx
@@ -188,7 +188,8 @@ def _bev_pool_scatter_pallas(idx, rays, depth_flat, context, ncells: int,
     B, NPT = idx.shape
     NR, C = context.shape[1], context.shape[2]
     cc = C if C <= _CC_MAX else _CC_MAX
-    nrows = ncells + 8 - (ncells % 8)  # ≥1 dump row, sublane-aligned
+    nrows = ncells + dump_rows
+    nrows += (-nrows) % 8  # sublane-aligned
     pad_r = (-NR) % 8
     if pad_r:
         context = jnp.pad(context, ((0, 0), (0, pad_r), (0, 0)))
@@ -236,6 +237,12 @@ def bev_pool_outer_pallas(geom_xyz, depth, context, voxel_num):
     return _pool_fwd_impl(geom_xyz, depth, context, voxel_num)
 
 
+_DUMP_ROWS = 64  # invalid points spread over 64 dump rows: funneling them
+#                  all to ONE row serializes the kernel's RMW pipeline on
+#                  read-after-write hazards (measured 2× slowdown when most
+#                  of the frustum is out of range)
+
+
 def _pool_fwd_impl(geom_xyz, depth, context, voxel_num):
     B, NC, D, fH, fW = depth.shape
     C = context.shape[-1]
@@ -255,8 +262,14 @@ def _pool_fwd_impl(geom_xyz, depth, context, voxel_num):
         )
     else:
         dflat = depth.reshape(B, NP).astype(jnp.float32)
+    spread = jnp.asarray(
+        np.arange(NP + pad_p, dtype=np.int32) % _DUMP_ROWS
+    )
+    idx = jnp.where(idx >= ncells, ncells + spread[None, :], idx)
     ctx = context.reshape(B, NC * fH * fW, C).astype(jnp.float32)
-    out = _bev_pool_scatter_pallas(idx, jnp.asarray(rays), dflat, ctx, ncells)
+    out = _bev_pool_scatter_pallas(
+        idx, jnp.asarray(rays), dflat, ctx, ncells, dump_rows=_DUMP_ROWS
+    )
     return out.reshape(B, ny, nx, C)
 
 
