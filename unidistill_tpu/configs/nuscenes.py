@@ -75,9 +75,10 @@ class LidarEncoderConfig:
     src_num_point_features: int = 5
     use_num_point_features: int = 5
     map_to_bev_num_features: int = 256
-    # Per-stage active-voxel caps for the gather-GEMM sparse encoder (TPU-only).
-    # Stage strides: 1, 2, 4, 8, and the final (2,1,1)-z downsample.
-    stage_voxel_caps: Tuple[int, ...] = (131072, 98304, 65536, 32768, 32768)
+    # Active-voxel caps for the gather-GEMM sparse encoder's four downsample
+    # outputs (strides 2, 4, 8, and the final (2,1,1)-z fold). The stride-1
+    # stage's cap is the voxelizer's max_voxels — no separate knob (TPU-only).
+    stage_voxel_caps: Tuple[int, ...] = (98304, 65536, 32768, 32768)
 
 
 @dataclass(frozen=True)
@@ -252,6 +253,9 @@ class DataConfig:
     """ref DATA_CFG (base_nuscenes_cfg.py:86-103) + aug cfg (:28-84)."""
 
     root_path: str = "/data/dataset"
+    # devkit NuScenes(version, dataroot) for DetectionEval scoring
+    # (ref evaluate.py:87-117 builds the same object)
+    nusc_version: str = "v1.0-trainval"
     num_lidar_sweeps: int = 10
     num_cam_sweeps: int = 0
     lidar_with_timestamp: bool = True
@@ -286,6 +290,9 @@ class TrainConfig:
     lr_gamma: float = 0.1
     grad_clip_value: float = 0.1
     seed: int = 0
+    # checkpoint pruning — the reference declares this (base_exp.py:47) but
+    # never enforces it; we wire it through Trainer.fit
+    num_keep_latest_ckpt: int = 1
     # Per-module LR multipliers, e.g. (("camera_encoder", 0.1),). The
     # reference declares this knob but never wires it (…base_exp.py:290);
     # default off to match its effective behavior.
@@ -360,7 +367,7 @@ def tiny_model(with_lidar: bool = True, with_camera: bool = True) -> ModelConfig
         lidar_encoder=LidarEncoderConfig(
             voxel_size=(1.35, 1.35, 0.2),
             grid_size=(80, 80, 40),
-            stage_voxel_caps=(2048, 1024, 512, 256, 256),
+            stage_voxel_caps=(1024, 512, 256, 256),
         ),
         camera_encoder=CameraEncoderConfig(
             x_bound=(-54.0, 54.0, 10.8),

@@ -169,15 +169,27 @@ def generate_submission(
 
 
 def run_detection_eval(
-    result_path: str, output_dir: str, nusc_meta=None, eval_set: str = "val"
+    result_path: str,
+    output_dir: str,
+    nusc_meta=None,
+    eval_set: str = "val",
+    version: str = "v1.0-trainval",
+    dataroot: Optional[str] = None,
 ) -> Optional[Dict]:
     """nuScenes DetectionEval (detection_cvpr_2019), devkit-gated
-    (ref evaluate.py:87-117)."""
+    (ref evaluate.py:87-117). The devkit requires a live `NuScenes` object;
+    when `nusc_meta` is not supplied one is built from (version, dataroot)
+    — the same construction the reference does at evaluate.py:97-101."""
     try:
+        from nuscenes import NuScenes
         from nuscenes.eval.common.config import config_factory
         from nuscenes.eval.detection.evaluate import DetectionEval
     except ImportError:
         return None
+    if nusc_meta is None:
+        if dataroot is None:
+            return None
+        nusc_meta = NuScenes(version=version, dataroot=dataroot, verbose=False)
     cfg = config_factory("detection_cvpr_2019")
     ev = DetectionEval(
         nusc_meta, config=cfg, result_path=result_path, eval_set=eval_set,

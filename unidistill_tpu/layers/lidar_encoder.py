@@ -175,25 +175,25 @@ class VoxelResBackBone8x(nn.Module):
         st = SparseBasicBlock(16, s0, self.dtype, name="res1b")(st, train)
 
         st = _SparseDownConv(16, 32, (3, 3, 3), (2, 2, 2), (1, 1, 1), s0, s2,
-                             caps[1], self.dtype, name="down2")(st)
+                             caps[0], self.dtype, name="down2")(st)
         st = bn_relu(st, "bn2")
         st = SparseBasicBlock(32, s2, self.dtype, name="res2a")(st, train)
         st = SparseBasicBlock(32, s2, self.dtype, name="res2b")(st, train)
 
         st = _SparseDownConv(32, 64, (3, 3, 3), (2, 2, 2), (1, 1, 1), s2, s3,
-                             caps[2], self.dtype, name="down3")(st)
+                             caps[1], self.dtype, name="down3")(st)
         st = bn_relu(st, "bn3")
         st = SparseBasicBlock(64, s3, self.dtype, name="res3a")(st, train)
         st = SparseBasicBlock(64, s3, self.dtype, name="res3b")(st, train)
 
         st = _SparseDownConv(64, 128, (3, 3, 3), (2, 2, 2), (0, 1, 1), s3, s4,
-                             caps[3], self.dtype, name="down4")(st)
+                             caps[2], self.dtype, name="down4")(st)
         st = bn_relu(st, "bn4")
         st = SparseBasicBlock(128, s4, self.dtype, name="res4a")(st, train)
         st = SparseBasicBlock(128, s4, self.dtype, name="res4b")(st, train)
 
         st = _SparseDownConv(128, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0), s4, s5,
-                             caps[4], self.dtype, name="conv_out")(st)
+                             caps[3], self.dtype, name="conv_out")(st)
         st = bn_relu(st, "bn_out")
 
         # HeightCompression: dense [B, D, H, W, C] → [B, H, W, C*D], channel
@@ -214,7 +214,6 @@ class VoxelResBackBone8x(nn.Module):
 
 class LidarEncoder(nn.Module):
     cfg: LidarEncoderConfig
-    max_voxels: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact

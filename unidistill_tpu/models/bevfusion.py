@@ -67,10 +67,7 @@ class BEVFusionCenterHead(nn.Module):
         lidar_out = camera_out = None
         if cfg.with_lidar:
             lidar_out = LidarEncoder(
-                cfg.lidar_encoder,
-                max_voxels=cfg.caps.max_voxels_train,
-                dtype=dtype,
-                name="lidar_encoder",
+                cfg.lidar_encoder, dtype=dtype, name="lidar_encoder"
             )(voxel_feats, voxel_coords, train)
             model_output = lidar_out
         if cfg.with_camera:

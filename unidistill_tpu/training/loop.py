@@ -131,6 +131,20 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+    def close(self):
+        """Release the metrics file / tensorboard writer (tests and scripts
+        that build many Trainers would otherwise leak file handles)."""
+        if not self.metrics_file.closed:
+            self.metrics_file.close()
+        if self._tb is not None:
+            self._tb.close()
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass
+
     # ---- logging -------------------------------------------------------------
     def log(self, rec: Dict[str, Any]):
         rec = {
@@ -219,7 +233,8 @@ class Trainer:
                         flush=True,
                     )
             ckpt_lib.save_checkpoint(
-                os.path.join(self.output_dir, "ckpt"), state, step
+                os.path.join(self.output_dir, "ckpt"), state, step,
+                keep_latest=self.exp_cfg.train.num_keep_latest_ckpt,
             )
         return state
 
@@ -250,13 +265,31 @@ class Trainer:
                 )
         return out
 
-    def evaluate(self, state: TrainState, loader, dataset) -> Optional[Dict]:
+    def evaluate(
+        self, state: TrainState, loader, dataset, eval_set: str = "val"
+    ) -> Optional[Dict]:
         from unidistill_tpu.data.evaluate import (
             generate_submission,
             run_detection_eval,
         )
 
         preds = self.predict(state, loader)
+        infos = dataset.infos[: len(preds)]
+        # hard alignment check: predict() order must match dataset.infos —
+        # true for unshuffled eval loaders (CBGS is train-only), and this
+        # assert makes a shuffled loader fail loudly instead of silently
+        # mis-tokening every frame
+        for p, info in zip(preds, infos):
+            ptok = p.get("meta", {}).get("token")
+            itok = info.get("sample_token")
+            assert ptok is None or itok is None or ptok == itok, (
+                f"prediction/info token mismatch: {ptok} vs {itok} — "
+                "eval loader must be unshuffled"
+            )
         result_dir = os.path.join(self.output_dir, "nuscenes")
-        path = generate_submission(preds, dataset.infos[: len(preds)], result_dir)
-        return run_detection_eval(path, result_dir)
+        path = generate_submission(preds, infos, result_dir)
+        dcfg = self.exp_cfg.data
+        return run_detection_eval(
+            path, result_dir, eval_set=eval_set,
+            version=dcfg.nusc_version, dataroot=dcfg.root_path,
+        )
