@@ -19,11 +19,16 @@ N_FRAMES = 4
 
 @pytest.fixture(scope="module")
 def synth_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("nusc")
+    return build_synth_nusc(tmp_path_factory.mktemp("nusc"), N_FRAMES)
+
+
+def build_synth_nusc(root, n_frames):
+    """Write a synthetic on-disk mini-nuScenes (info pkls + bins + jpegs);
+    shared by the data-pipeline and distill-CLI end-to-end tests."""
     rng = np.random.RandomState(0)
     os.makedirs(root / "samples", exist_ok=True)
     infos = []
-    for i in range(N_FRAMES):
+    for i in range(n_frames):
         pts = rng.uniform(-50, 50, (3000, 5)).astype(np.float32)
         pts[:, 2] = rng.uniform(-4, 2, 3000)
         pts[:, 4] = 0

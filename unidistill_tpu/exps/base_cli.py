@@ -85,9 +85,7 @@ def run_cli(exp_cfg: cfgs.ExpConfig, exp_name: Optional[str] = None):
         sample = next(iter(dl))
         state = trainer.init_state(sample, steps_per_epoch=1)
         if args.ckpt_path:
-            tpl = dict(step=np.zeros((), np.int32), params=state.params,
-                       batch_stats=state.batch_stats)
-            restored = ckpt_lib.restore_checkpoint(args.ckpt_path, tpl)
+            restored = ckpt_lib.restore_checkpoint_any(args.ckpt_path)
             state = TrainState(restored["step"], restored["params"],
                                restored["batch_stats"], state.opt_state)
         if args.evaluate:

@@ -52,9 +52,9 @@ def load_teacher(teacher_cfg: cfgs.ModelConfig, ckpt_path: Optional[str],
 
             loaded_p, loaded_s = load_torch_checkpoint(ckpt_path, teacher_cfg)
         else:
-            tpl = dict(step=np.zeros((), np.int32), params=params, batch_stats=stats)
-            restored = ckpt_lib.restore_checkpoint(ckpt_path, tpl)
-            loaded_p, loaded_s = restored["params"], restored["batch_stats"]
+            restored = ckpt_lib.restore_checkpoint_any(ckpt_path)
+            loaded_p = restored.get("params", {})
+            loaded_s = restored.get("batch_stats", {})
         params, used, skipped = ckpt_lib.shape_filtered_merge(params, loaded_p)
         stats, _, _ = ckpt_lib.shape_filtered_merge(stats, loaded_s)
         print(f"teacher load: {used} tensors used, {skipped} kept from init")

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from unidistill_tpu.configs.nuscenes import LidarEncoderConfig
 from unidistill_tpu.ops.sparse_conv import (
     SparseTensor,
+    build_subm_rules,
     from_voxels,
     sparse_conv_down,
     subm_conv,
@@ -82,13 +83,17 @@ class _SubMConv(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, st_b):
+    def __call__(self, st_b, rules_b=None):
         w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
         b = self.param("bias", nn.initializers.zeros, (self.cout,)) if self.use_bias else None
         conv = partial(subm_conv, spatial_shape=self.spatial_shape)
         w = w.astype(self.dtype)
         bb = None if b is None else b.astype(self.dtype)
-        return jax.vmap(lambda st: conv(st, w, bias=bb))(st_b)
+        if rules_b is None:
+            return jax.vmap(lambda st: conv(st, w, bias=bb))(st_b)
+        return jax.vmap(lambda st, r: conv(st, w, bias=bb, rules=r))(
+            st_b, rules_b
+        )
 
 
 class _SparseDownConv(nn.Module):
@@ -124,14 +129,16 @@ class SparseBasicBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, st_b, train: bool):
+    def __call__(self, st_b, train: bool, rules_b=None):
         identity = st_b.features
         out = _SubMConv(self.planes, self.planes, True, self.spatial_shape,
-                        self.dtype, name="conv1")(st_b)
+                        self.dtype, name="conv1")(st_b, rules_b)
         f = MaskedBatchNorm(name="bn1")(out.features, out.valid, train)
         f = nn.relu(f)
         out = _SubMConv(self.planes, self.planes, True, self.spatial_shape,
-                        self.dtype, name="conv2")(out._replace(features=f))
+                        self.dtype, name="conv2")(
+            out._replace(features=f), rules_b
+        )
         f = MaskedBatchNorm(name="bn2")(out.features, out.valid, train)
         f = nn.relu(f + identity.astype(f.dtype))
         f = jnp.where(out.valid[..., None], f, 0.0)
@@ -168,29 +175,38 @@ class VoxelResBackBone8x(nn.Module):
             f = MaskedBatchNorm(name=name)(st_b.features, st_b.valid, train)
             return st_b._replace(features=nn.relu(f))
 
+        def stage_rules(st_b, shape):
+            # one rule table per voxel set, shared by every SubM conv in the
+            # stage (spconv caches per indice_key the same way)
+            return jax.vmap(lambda st: build_subm_rules(st, shape))(st_b)
+
+        r = stage_rules(st, s0)
         st = _SubMConv(feats.shape[-1], 16, False, s0, self.dtype,
-                       name="conv_input")(st)
+                       name="conv_input")(st, r)
         st = bn_relu(st, "bn_input")
-        st = SparseBasicBlock(16, s0, self.dtype, name="res1a")(st, train)
-        st = SparseBasicBlock(16, s0, self.dtype, name="res1b")(st, train)
+        st = SparseBasicBlock(16, s0, self.dtype, name="res1a")(st, train, r)
+        st = SparseBasicBlock(16, s0, self.dtype, name="res1b")(st, train, r)
 
         st = _SparseDownConv(16, 32, (3, 3, 3), (2, 2, 2), (1, 1, 1), s0, s2,
                              caps[0], self.dtype, name="down2")(st)
         st = bn_relu(st, "bn2")
-        st = SparseBasicBlock(32, s2, self.dtype, name="res2a")(st, train)
-        st = SparseBasicBlock(32, s2, self.dtype, name="res2b")(st, train)
+        r = stage_rules(st, s2)
+        st = SparseBasicBlock(32, s2, self.dtype, name="res2a")(st, train, r)
+        st = SparseBasicBlock(32, s2, self.dtype, name="res2b")(st, train, r)
 
         st = _SparseDownConv(32, 64, (3, 3, 3), (2, 2, 2), (1, 1, 1), s2, s3,
                              caps[1], self.dtype, name="down3")(st)
         st = bn_relu(st, "bn3")
-        st = SparseBasicBlock(64, s3, self.dtype, name="res3a")(st, train)
-        st = SparseBasicBlock(64, s3, self.dtype, name="res3b")(st, train)
+        r = stage_rules(st, s3)
+        st = SparseBasicBlock(64, s3, self.dtype, name="res3a")(st, train, r)
+        st = SparseBasicBlock(64, s3, self.dtype, name="res3b")(st, train, r)
 
         st = _SparseDownConv(64, 128, (3, 3, 3), (2, 2, 2), (0, 1, 1), s3, s4,
                              caps[2], self.dtype, name="down4")(st)
         st = bn_relu(st, "bn4")
-        st = SparseBasicBlock(128, s4, self.dtype, name="res4a")(st, train)
-        st = SparseBasicBlock(128, s4, self.dtype, name="res4b")(st, train)
+        r = stage_rules(st, s4)
+        st = SparseBasicBlock(128, s4, self.dtype, name="res4a")(st, train, r)
+        st = SparseBasicBlock(128, s4, self.dtype, name="res4b")(st, train, r)
 
         st = _SparseDownConv(128, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0), s4, s5,
                              caps[3], self.dtype, name="conv_out")(st)

@@ -31,6 +31,8 @@ def save_checkpoint(
     (SURVEY.md known defects); we do."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     step = int(state.step) if step is None else step
+    if os.path.exists(os.path.join(ckpt_dir, f"step_{step}")):
+        return  # idempotent: fit() saves per epoch and CLIs save at exit
     payload = dict(
         step=np.asarray(state.step),
         params=jax.device_get(state.params),
@@ -67,6 +69,15 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     with ocp.StandardCheckpointer() as ck:
         return ck.restore(os.path.abspath(path), template)
+
+
+def restore_checkpoint_any(path: str) -> Dict[str, Any]:
+    """Restore the full saved tree with inferred structure — lets teacher
+    loads / eval restores read a checkpoint regardless of whether it was
+    saved with opt_state (a template-based restore requires an exact tree
+    match)."""
+    with ocp.StandardCheckpointer() as ck:
+        return ck.restore(os.path.abspath(path))
 
 
 def shape_filtered_merge(target_params, loaded_params) -> Tuple[Any, int, int]:

@@ -86,8 +86,12 @@ class Trainer:
             lr_scale_factor=dict(tcfg.lr_scale_factor)
             if tcfg.lr_scale_factor else None,
         )
+        arrays = {
+            k: v for k, v in sample_batch.items()
+            if k not in ("meta", "gt_boxes_raw")
+        }
         kw = model_inputs(
-            jax.tree.map(lambda x: jnp.asarray(x[:1]), sample_batch),
+            jax.tree.map(lambda x: jnp.asarray(x[:1]), arrays),
             self.cfg, training=True,
         )
         variables = self.model.init(
@@ -201,8 +205,11 @@ class Trainer:
         step_fn = self._compile_train_step(distill_ctx)
 
         step = int(state.step)
+        last_logged = step
+        steps_per_epoch = len(train_loader)
         for epoch in range(max_epochs):
             t0 = time.time()
+            epoch_end = step + steps_per_epoch
             for batch in train_loader:
                 dev_batch = {
                     k: v for k, v in batch.items()
@@ -221,10 +228,13 @@ class Trainer:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
                 step += 1
-                if step % print_interval == 0:
+                # log on the interval and at each epoch's last step (so short
+                # epochs still record a loss)
+                if step % print_interval == 0 or step == epoch_end:
                     m = jax.device_get(metrics)
-                    dt = (time.time() - t0) / print_interval
+                    dt = (time.time() - t0) / max(step - last_logged, 1)
                     t0 = time.time()
+                    last_logged = step
                     m["sec_per_step"] = dt
                     self.log_metrics(step, m)
                     print(

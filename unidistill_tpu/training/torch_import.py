@@ -72,6 +72,11 @@ class TreeBuilder:
         d[keys[-1]] = np.asarray(value)
 
     def add_conv(self, sd, tname, jpath, transposed=False, bias=False):
+        # missing keys are skipped, not errors: the reference loads teacher
+        # checkpoints with strict=False + shape filtering, so partial state
+        # dicts must convert partially (…camera_exp_distill_lidar.py:407-416)
+        if f"{tname}.weight" not in sd:
+            return
         w = sd[f"{tname}.weight"]
         self.set(self.params, f"{jpath}/kernel",
                  conv_transpose2d(w) if transposed else conv2d(w))
@@ -79,6 +84,8 @@ class TreeBuilder:
             self.set(self.params, f"{jpath}/bias", sd[f"{tname}.bias"])
 
     def add_bn(self, sd, tname, jpath):
+        if f"{tname}.weight" not in sd:
+            return
         p, s = _bn(sd, tname)
         self.set(self.params, f"{jpath}/scale", p["scale"])
         self.set(self.params, f"{jpath}/bias", p["bias"])
@@ -86,6 +93,8 @@ class TreeBuilder:
         self.set(self.stats, f"{jpath}/var", s["var"])
 
     def add_spconv(self, sd, tname, jpath, cin, cout, bias=False):
+        if f"{tname}.weight" not in sd:
+            return
         self.set(self.params, f"{jpath}/kernel",
                  spconv3d(sd[f"{tname}.weight"], cin, cout))
         if bias and f"{tname}.bias" in sd:
@@ -173,6 +182,13 @@ def _import_center_head(b: TreeBuilder, sd, t: str, j: str, tasks, common_heads)
     b.add_bn(sd, f"{t}.shared_conv.1", f"{j}/shared_bn")
 
     branches = branch_list(tuple(tasks), tuple(common_heads))
+    # fused packing needs every branch present — all-or-nothing (a state
+    # dict missing the head falls back to init weights, same as strict=False)
+    if any(
+        f"{t}.tasks.{tid}.{name}.0.weight" not in sd
+        for tid, name, _ch in branches
+    ):
+        return
     o_max = max(ch for _, _, ch in branches)
     heads_by_name = {n: nc for n, (_c, nc) in common_heads}
     k0, b0, s0, be0, m0, v0, wk, wb = [], [], [], [], [], [], [], []
