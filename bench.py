@@ -1,27 +1,38 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Measures the camera BEV detector's eval forward (ResNet-50 → LSS lift-splat →
-BEV backbone → CenterHead → decode + rotated NMS) at real nuScenes shapes on
-the attached TPU chip, reporting frames/sec/chip.
+Headline metric: camera BEV detector eval forward (ResNet-50 → LSS
+lift-splat → Pallas BEV pool → BEV backbone → fused CenterHead → decode +
+batched rotated NMS) at real nuScenes shapes on the attached TPU chip,
+frames/sec/chip at batch 4. Secondary metrics (in "extra"): LiDAR-only and
+fusion eval fps at real voxel caps, measured under the same protocol.
 
 Methodology: the axon relay adds ~30 ms host↔device round-trip per dispatch
 and pipelines independent dispatches, so naive wall-clock loops are wrong in
 both directions. We time fully-synchronous single dispatches (scalar fetch
-forces completion) and subtract the relay overhead measured with a trivial
-jitted no-op, reporting the median of several reps.
+forces completion), subtract the relay overhead measured with a trivial
+jitted no-op, and report the median of several reps. Both raw and
+overhead-subtracted timings are reported.
 
 `vs_baseline`: the reference repo publishes no numbers (BASELINE.md); the
-provisional denominator is 25 frames/sec — a representative A100 figure for a
-BEVDepth-style R50-LSS CenterPoint detector with CUDA voxel pooling at this
-resolution. Replace with a measured reference number when one exists.
+provisional denominator is 25 frames/sec — a representative A100 figure for
+a BEVDepth-style R50-LSS CenterPoint detector with CUDA voxel pooling at
+this resolution ("baseline_provisional": true in the output). Replace with
+a measured reference number when one exists.
 """
 import functools
 import json
+import os
 import time
+
+# persistent compile cache: the LiDAR/fusion graphs compile in minutes cold,
+# seconds warm
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 
 A100_REF_FPS = 25.0
 BATCH = 4
 REPS = 7
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
+_T0 = time.time()
 
 
 def median_sync_time(fn, reps=REPS):
@@ -35,12 +46,11 @@ def median_sync_time(fn, reps=REPS):
     return ts[len(ts) // 2]
 
 
-def main():
+def bench_eval(exp_factory, overhead_s):
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _synth_batch
-    from unidistill_tpu.configs.nuscenes import camera_exp
     from unidistill_tpu.models.bevfusion import BEVFusionCenterHead
     from unidistill_tpu.training.steps import eval_step, model_inputs
     from unidistill_tpu.training.train_state import (
@@ -48,15 +58,31 @@ def main():
         make_optimizer,
     )
 
-    cfg = camera_exp().model
+    cfg = exp_factory().model
     batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, BATCH))
     model = BEVFusionCenterHead(cfg)
     kw = model_inputs(jax.tree.map(lambda x: x[:1], batch), cfg, training=False)
-    variables = model.init(jax.random.PRNGKey(0), **kw, train=False)
-    tx = make_optimizer(1e-3, 1e-7, 0.1)
-    state = create_train_state(variables, tx)
+    init_fn = jax.jit(lambda k: model.init(k, **kw, train=False))
+    variables = init_fn(jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
+    state = create_train_state(variables, make_optimizer(1e-3, 1e-7, 0.1))
 
     step = jax.jit(functools.partial(eval_step, model=model, cfg=cfg))
+    float(jnp.sum(step(state, batch)["scores"]))  # compile + warm
+    raw = median_sync_time(lambda: float(jnp.sum(step(state, batch)["scores"])))
+    net = max(raw - overhead_s, 1e-9)
+    return dict(
+        fps=round(BATCH / net, 2),
+        ms_per_batch=round(net * 1e3, 1),
+        ms_per_batch_raw=round(raw * 1e3, 1),
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unidistill_tpu.configs.nuscenes import camera_exp, fusion_exp, lidar_exp
 
     @jax.jit
     def noop(x):
@@ -64,20 +90,37 @@ def main():
 
     small = jnp.zeros((8,), jnp.float32)
     float(noop(small)[0])  # compile
-    float(jnp.sum(step(state, batch)["scores"]))  # compile + warm
-
     ovh = median_sync_time(lambda: float(noop(small)[0]))
-    d = median_sync_time(lambda: float(jnp.sum(step(state, batch)["scores"])))
-    per_step = max(d - ovh, 1e-9)
-    fps = BATCH / per_step
 
+    extra = {"relay_overhead_ms": round(ovh * 1e3, 1)}
+    cam = None
+    for name, factory in (
+        ("camera", camera_exp),
+        ("lidar", lidar_exp),
+        ("fusion", fusion_exp),
+    ):
+        if name != "camera" and time.time() - _T0 > TIME_BUDGET_S:
+            extra[f"{name}_eval"] = "skipped: time budget"
+            continue
+        try:
+            r = bench_eval(factory, ovh)
+            extra[f"{name}_eval"] = r
+            if name == "camera":
+                cam = r
+        except Exception as e:  # noqa: BLE001 — always emit the JSON line
+            extra[f"{name}_eval"] = f"failed: {type(e).__name__}: {e}"[:200]
+
+    fps = cam["fps"] if cam else 0.0
     print(
         json.dumps(
             {
                 "metric": "camera_bev_eval_frames_per_sec_per_chip",
-                "value": round(fps, 2),
+                "value": fps,
                 "unit": "frames/s",
                 "vs_baseline": round(fps / A100_REF_FPS, 3),
+                "baseline_provisional": True,
+                "batch": BATCH,
+                "extra": extra,
             }
         )
     )

@@ -127,3 +127,18 @@ def test_torch_layout_conversions():
     out = spconv3d(w5, cin=8, cout=16)
     assert out.shape == (27, 8, 16)
     np.testing.assert_allclose(out[0], w5[:, 0, 0, 0, :].T)
+
+
+def test_interleave_process_results_matches_reference_semantics():
+    """ref …base_exp.py:396-417: rank lists interleave then truncate."""
+    from unidistill_tpu.parallel.mesh import (
+        all_gather_host_objects,
+        interleave_process_results,
+    )
+
+    per_rank = [["a0", "a1", "a2"], ["b0", "b1", "b2"]]
+    assert interleave_process_results(per_rank, total=5) == [
+        "a0", "b0", "a1", "b1", "a2"
+    ]
+    # single-process gather is a truncating passthrough
+    assert all_gather_host_objects([1, 2, 3], total=2) == [1, 2]

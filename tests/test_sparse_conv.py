@@ -135,3 +135,48 @@ def test_subm_grad_flows():
     gw, gf = jax.grad(loss, argnums=(0, 1))(w, st.features)
     assert np.isfinite(np.asarray(gw)).all() and np.abs(np.asarray(gw)).sum() > 0
     assert np.isfinite(np.asarray(gf)).all() and np.abs(np.asarray(gf)).sum() > 0
+
+
+def test_batched_ops_match_per_sample():
+    """Batched-global (flat-row-index) sparse ops == vmapped per-sample ops."""
+    from unidistill_tpu.ops.sparse_conv import (
+        build_subm_rules_batched,
+        sparse_conv_down_batched,
+        subm_conv_batched,
+    )
+
+    rng = np.random.RandomState(3)
+    shape = (6, 10, 12)
+    B, C, cap = 3, 4, 64
+    fs, cs = [], []
+    for b in range(B):
+        f, c = _random_sparse(rng, shape, 30 + 7 * b, C, cap)
+        fs.append(f)
+        cs.append(c)
+    feats_b = jnp.stack(fs)
+    coords_b = jnp.stack(cs)
+    st_b = from_voxels(feats_b, coords_b, shape)  # elementwise → batched ok
+
+    w = rng.randn(27, C, 5).astype(np.float32)
+    bias = rng.randn(5).astype(np.float32)
+
+    ref = jax.vmap(
+        lambda st: subm_conv(st, jnp.asarray(w), shape, bias=jnp.asarray(bias))
+    )(st_b)
+    rules = build_subm_rules_batched(st_b, shape)
+    got = subm_conv_batched(st_b, jnp.asarray(w), rules, bias=jnp.asarray(bias))
+    np.testing.assert_allclose(
+        np.asarray(got.features), np.asarray(ref.features), rtol=1e-5, atol=1e-5
+    )
+
+    out_shape = (3, 5, 6)
+    wd = rng.randn(27, C, 6).astype(np.float32)
+    kw = dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1),
+              spatial_shape=shape, out_spatial_shape=out_shape, out_cap=48)
+    refd = jax.vmap(lambda st: sparse_conv_down(st, jnp.asarray(wd), **kw))(st_b)
+    gotd = sparse_conv_down_batched(st_b, jnp.asarray(wd), **kw)
+    np.testing.assert_array_equal(np.asarray(gotd.keys), np.asarray(refd.keys))
+    np.testing.assert_array_equal(np.asarray(gotd.valid), np.asarray(refd.valid))
+    np.testing.assert_allclose(
+        np.asarray(gotd.features), np.asarray(refd.features), rtol=1e-5, atol=1e-5
+    )

@@ -32,10 +32,10 @@ import jax.numpy as jnp
 from unidistill_tpu.configs.nuscenes import LidarEncoderConfig
 from unidistill_tpu.ops.sparse_conv import (
     SparseTensor,
-    build_subm_rules,
+    build_subm_rules_batched,
     from_voxels,
-    sparse_conv_down,
-    subm_conv,
+    sparse_conv_down_batched,
+    subm_conv_batched,
 )
 
 
@@ -83,17 +83,12 @@ class _SubMConv(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, st_b, rules_b=None):
+    def __call__(self, st_b, rules_b):
         w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
         b = self.param("bias", nn.initializers.zeros, (self.cout,)) if self.use_bias else None
-        conv = partial(subm_conv, spatial_shape=self.spatial_shape)
         w = w.astype(self.dtype)
         bb = None if b is None else b.astype(self.dtype)
-        if rules_b is None:
-            return jax.vmap(lambda st: conv(st, w, bias=bb))(st_b)
-        return jax.vmap(lambda st, r: conv(st, w, bias=bb, rules=r))(
-            st_b, rules_b
-        )
+        return subm_conv_batched(st_b, w, rules_b, bias=bb)
 
 
 class _SparseDownConv(nn.Module):
@@ -111,8 +106,8 @@ class _SparseDownConv(nn.Module):
     def __call__(self, st_b):
         K = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
         w = self.param("kernel", _kaiming, (K, self.cin, self.cout)).astype(self.dtype)
-        fn = partial(
-            sparse_conv_down,
+        return sparse_conv_down_batched(
+            st_b, w,
             kernel_size=self.kernel_size,
             stride=self.stride,
             padding=self.padding,
@@ -120,7 +115,6 @@ class _SparseDownConv(nn.Module):
             out_spatial_shape=self.out_spatial_shape,
             out_cap=self.out_cap,
         )
-        return jax.vmap(lambda st: fn(st, w))(st_b)
 
 
 class SparseBasicBlock(nn.Module):
@@ -167,9 +161,8 @@ class VoxelResBackBone8x(nn.Module):
         s5 = ((s4[0] - 3) // 2 + 1, s4[1], s4[2])  # (2, 180, 180)
         caps = cfg.stage_voxel_caps
 
-        st = jax.vmap(lambda f, c: from_voxels(f, c, s0))(
-            feats.astype(self.dtype), coords
-        )
+        # from_voxels is elementwise — batched arrays pass straight through
+        st = from_voxels(feats.astype(self.dtype), coords, s0)
 
         def bn_relu(st_b, name):
             f = MaskedBatchNorm(name=name)(st_b.features, st_b.valid, train)
@@ -178,7 +171,7 @@ class VoxelResBackBone8x(nn.Module):
         def stage_rules(st_b, shape):
             # one rule table per voxel set, shared by every SubM conv in the
             # stage (spconv caches per indice_key the same way)
-            return jax.vmap(lambda st: build_subm_rules(st, shape))(st_b)
+            return build_subm_rules_batched(st_b, shape)
 
         r = stage_rules(st, s0)
         st = _SubMConv(feats.shape[-1], 16, False, s0, self.dtype,
@@ -217,13 +210,17 @@ class VoxelResBackBone8x(nn.Module):
         D, H, W = s5
         C = st.features.shape[-1]
 
-        def densify(st1):
-            flat = jnp.zeros((D * H * W + 1, C), dtype=st1.features.dtype)
-            idx = jnp.where(st1.valid, st1.keys, D * H * W)
-            flat = flat.at[idx].set(st1.features, mode="drop")
-            return flat[:-1].reshape(D, H, W, C)
-
-        dense = jax.vmap(densify)(st)  # [B, D, H, W, C]
+        # densify through flat global rows (vmapped scatters hit the slow
+        # batched-gather layouts; see ops/sparse_conv.py batched section)
+        B = st.keys.shape[0]
+        span = D * H * W + 1
+        idx = jnp.where(st.valid, st.keys, D * H * W)
+        gidx = (idx + jnp.arange(B, dtype=idx.dtype)[:, None] * span).reshape(-1)
+        flat = jnp.zeros((B * span, C), dtype=st.features.dtype)
+        flat = flat.at[gidx].set(st.features.reshape(-1, C), mode="drop")
+        dense = flat.reshape(B, span, C)[:, : D * H * W].reshape(
+            B, D, H, W, C
+        )
         bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(-1, H, W, C * D)
         return bev
 

@@ -54,7 +54,7 @@ def from_voxels(
     """Build a SparseTensor from voxelizer output (already key-sorted)."""
     keys, ok = linear_key(coords, spatial_shape)
     return SparseTensor(
-        jnp.where(ok[:, None], features, 0.0), coords, keys, ok
+        jnp.where(ok[..., None], features, 0.0), coords, keys, ok
     )
 
 
@@ -82,6 +82,223 @@ def _kernel_offsets(kernel_size: Sequence[int]) -> np.ndarray:
         axis=-1,
     ).reshape(-1, 3)
     return offs
+
+
+# ---------------------------------------------------------------------------
+# Batched-global formulation
+# ---------------------------------------------------------------------------
+#
+# `jax.vmap`-ing the per-sample ops makes every gather a *batched* gather
+# from a [B, V, C] table — XLA lowers those through channel-major layouts at
+# ~8 GB/s (measured: 150 ms for one conv's 1.2 GB), 70× off the plain 2D
+# row-gather fast path (~0.7 ns/row). The batched functions below therefore
+# flatten the batch into GLOBAL row indices: features live as [B·V, C],
+# per-sample sorted keys get per-sample bands (key + b·SPAN) so the
+# concatenation stays globally sorted and ONE unbatched sort-based
+# searchsorted serves the whole batch.
+
+
+def _band_keys(keys: jnp.ndarray, span: int) -> jnp.ndarray:
+    """[B, V] per-sample sorted keys -> [B·V] globally sorted banded keys."""
+    B = keys.shape[0]
+    off = (jnp.arange(B, dtype=keys.dtype) * span)[:, None]
+    return (keys + off).reshape(-1)
+
+
+def _lookup_banded(keys_b: jnp.ndarray, query_b: jnp.ndarray, span: int):
+    """Batched lookup via one global sort. keys_b: [B, V] per-sample sorted;
+    query_b: [B, ...] per-sample queries (< span). Returns (per-sample LOCAL
+    idx in [0, V), found).
+
+    Cost model (measured on v5e): one batched sort amortizes ~4× better than
+    per-sample sorts, so the search itself is global over per-sample key
+    bands. The found-check gather, however, must NOT be a scalar gather
+    (0.6 GB/s); keys are gathered per sample from an [V, 8]-wide table
+    (row gathers from ≤16 MB tables run at ~0.7 ns/row)."""
+    B, V = keys_b.shape
+    gkeys = _band_keys(keys_b, span)
+    off = (jnp.arange(B, dtype=query_b.dtype) * span).reshape(
+        (B,) + (1,) * (query_b.ndim - 1)
+    )
+    gq = (query_b + off).reshape(-1)
+    idx = jnp.searchsorted(gkeys, gq, method="sort").reshape(query_b.shape)
+    voff = (jnp.arange(B, dtype=idx.dtype) * V).reshape(
+        (B,) + (1,) * (query_b.ndim - 1)
+    )
+    # a not-found query can land at its band's end (= next band's start)
+    lidx = jnp.clip(idx - voff, 0, V - 1)
+    found = jnp.stack(
+        [
+            _wide_key_gather(keys_b[b], lidx[b]) == query_b[b]
+            for b in range(B)
+        ]
+    )
+    return lidx, found
+
+
+def _wide_key_gather(keys: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """keys [V] int32 looked up at idx [...] through an [V, 8]-wide table —
+    scalar gathers are ~30× slower than small-table row gathers on TPU."""
+    V = keys.shape[0]
+    tab = jnp.broadcast_to(keys[:, None], (V, 8))
+    return tab[idx.reshape(-1)][:, 0].reshape(idx.shape)
+
+
+def build_subm_rules_batched(
+    st: SparseTensor, spatial_shape: Tuple[int, int, int], kernel_size: int = 3
+):
+    """Batched neighbor rules: (idx [B, K, V] per-sample LOCAL row indices,
+    take [B, K, V]). All fields of `st` carry a leading batch dim."""
+    D, H, W = spatial_shape
+    offs = jnp.asarray(
+        _kernel_offsets((kernel_size,) * 3) - (kernel_size // 2),
+        dtype=st.coords.dtype,
+    )
+    nkey, _ = linear_key(
+        st.coords[:, None, :, :] + offs[None, :, None, :], spatial_shape
+    )  # [B, K, V]
+    idx, found = _lookup_banded(st.keys, nkey, D * H * W + 1)
+    return idx, found & st.valid[:, None, :]
+
+
+def _gather_gemm(features_b, idx_b, take_b, weight):
+    """Per-sample gather-GEMM, statically unrolled over batch: per-sample
+    feature tables fit VMEM (fast-gather regime); a flat [B·V, C] table does
+    not and gathers 8× slower; vmapped gathers are 70× slower still."""
+    outs = []
+    w = weight.astype(features_b.dtype)
+    for b in range(features_b.shape[0]):
+        nf = features_b[b][idx_b[b].reshape(-1)].reshape(
+            idx_b.shape[1:] + features_b.shape[-1:]
+        )
+        nf = jnp.where(take_b[b][..., None], nf, 0.0)  # [K, V, Cin]
+        outs.append(
+            jnp.einsum(
+                "kvc,kco->vo", nf, w,
+                preferred_element_type=features_b.dtype,
+            )
+        )
+    return jnp.stack(outs)
+
+
+def subm_conv_batched(
+    st: SparseTensor,
+    weight: jnp.ndarray,
+    rules,
+    bias: jnp.ndarray | None = None,
+) -> SparseTensor:
+    """Batched submanifold conv. st fields [B, V, ·]; rules from
+    `build_subm_rules_batched`; weight [K, Cin, Cout]."""
+    idx, take = rules
+    out = _gather_gemm(st.features, idx, take, weight)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(st.valid[..., None], out, 0.0)
+    return SparseTensor(out, st.coords, st.keys, st.valid)
+
+
+def downsample_sites_batched(
+    st: SparseTensor,
+    kernel_size: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    out_spatial_shape: Tuple[int, int, int],
+    out_cap: int,
+):
+    """Batched output-site generation for a strided sparse conv: per-sample
+    sort + dedup done in ONE global banded sort, slots scattered into
+    per-sample [out_cap] buffers through flat global indices."""
+    B, V = st.keys.shape
+    cand_per_dim = []
+    for d in range(3):
+        k, s = kernel_size[d], stride[d]
+        n = 2 if (k > s or (k == s and s > 1)) else 1
+        if k == 3 and s == 1:
+            n = 3
+        cand_per_dim.append(n)
+
+    D, H, W = out_spatial_shape
+    BIG = jnp.int32(D * H * W)
+    p = jnp.asarray(padding, dtype=st.coords.dtype)
+    s = jnp.asarray(stride, dtype=st.coords.dtype)
+    k = jnp.asarray(kernel_size, dtype=st.coords.dtype)
+    cands = []
+    for cz in range(cand_per_dim[0]):
+        for cy in range(cand_per_dim[1]):
+            for cx in range(cand_per_dim[2]):
+                deltas = jnp.asarray([cz, cy, cx], dtype=st.coords.dtype)
+                o = (st.coords + p) // s - deltas
+                lo_ok = (o * s - p) <= st.coords
+                hi_ok = st.coords <= (o * s - p + k - 1)
+                ob = jnp.asarray(out_spatial_shape, dtype=st.coords.dtype)
+                in_b = (o >= 0) & (o < ob)
+                ok = jnp.all(lo_ok & hi_ok & in_b, axis=-1) & st.valid
+                key, _ = linear_key(o, out_spatial_shape)
+                cands.append(jnp.where(ok, key, BIG))
+    all_keys = jnp.concatenate(cands, axis=1)  # [B, V·ncand]
+    N = all_keys.shape[1]
+    flatk = jnp.sort(all_keys, axis=1).reshape(-1)  # per-sample sorted
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), flatk[1:] != flatk[:-1]]
+    )
+    # each sample's first element starts a fresh run; sentinels dropped
+    band_start = (jnp.arange(B * N) % N) == 0
+    is_new = (is_new | band_start) & (flatk < BIG)
+    slot_g = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    # per-sample slot base = run count before the sample's first element
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(is_new.astype(jnp.int32))[N - 1::N][:-1]]
+    )  # [B]
+    slot = slot_g - jnp.repeat(base, N)
+    # compaction by sort instead of scatter (scatter costs ~65 ns/index on
+    # TPU; one more batched sort is ~ms): new runs rank by slot, everything
+    # else ranks N and falls off the end
+    rank = jnp.where(is_new, slot, N).reshape(B, N)
+    rank_s, vals_s = jax.lax.sort(
+        (rank, flatk.reshape(B, N)), dimension=1, num_keys=1
+    )
+    out_keys = jnp.where(
+        rank_s[:, :out_cap] < N, vals_s[:, :out_cap], BIG
+    ).astype(jnp.int32)
+    out_valid = out_keys < BIG
+    kz = jnp.where(out_valid, out_keys // (H * W), -1)
+    ky = jnp.where(out_valid, (out_keys // W) % H, -1)
+    kx = jnp.where(out_valid, out_keys % W, -1)
+    out_coords = jnp.stack([kz, ky, kx], axis=-1).astype(jnp.int32)
+    return out_coords, out_keys, out_valid
+
+
+def sparse_conv_down_batched(
+    st: SparseTensor,
+    weight: jnp.ndarray,
+    kernel_size: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    spatial_shape: Tuple[int, int, int],
+    out_spatial_shape: Tuple[int, int, int],
+    out_cap: int,
+    bias: jnp.ndarray | None = None,
+) -> SparseTensor:
+    """Batched strided sparse conv over the transposed rule table."""
+    out_coords, out_keys, out_valid = downsample_sites_batched(
+        st, kernel_size, stride, padding, out_spatial_shape, out_cap
+    )
+    offs = jnp.asarray(_kernel_offsets(kernel_size), dtype=jnp.int32)
+    s = jnp.asarray(stride, dtype=jnp.int32)
+    p = jnp.asarray(padding, dtype=jnp.int32)
+    D, H, W = spatial_shape
+    ikey, _ = linear_key(
+        out_coords[:, None, :, :] * s - p + offs[None, :, None, :],
+        spatial_shape,
+    )  # [B, K, O]
+    idx, found = _lookup_banded(st.keys, ikey, D * H * W + 1)
+    take = found & out_valid[:, None, :]
+    out = _gather_gemm(st.features, idx, take, weight)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(out_valid[..., None], out, 0.0)
+    return SparseTensor(out, out_coords, out_keys, out_valid)
 
 
 def build_subm_rules(

@@ -255,6 +255,7 @@ class Trainer:
         efn = jax.jit(
             functools.partial(eval_step, model=self.model, cfg=self.cfg)
         )
+        multihost = jax.process_count() > 1
         out: List[Dict] = []
         for batch in loader:
             dev_batch = {
@@ -262,17 +263,32 @@ class Trainer:
                 if k not in ("meta", "gt_boxes_raw")
             }
             rois = jax.device_get(efn(state, dev_batch))
-            B = rois["boxes"].shape[0]
-            for b in range(B):
-                m = rois["mask"][b]
-                out.append(
-                    dict(
-                        boxes=rois["boxes"][b][m],
-                        scores=rois["scores"][b][m],
-                        labels=rois["labels"][b][m] - 1,
-                        meta=batch["meta"][b],
-                    )
+            if multihost:
+                # gather the fixed-shape ROI buffers from every process and
+                # interleave (ref all_gather_object eval reconstruction,
+                # …base_exp.py:396-417); assumes the loader hands process p
+                # the p-th slice of each global batch. Tokens come from
+                # dataset order downstream (meta is host-local).
+                from unidistill_tpu.parallel.mesh import (
+                    all_gather_host_objects,
                 )
+
+                rois_list = all_gather_host_objects([rois])
+            else:
+                rois_list = [rois]
+            for j, r in enumerate(rois_list):
+                B = r["boxes"].shape[0]
+                for b in range(B):
+                    m = r["mask"][b]
+                    out.append(
+                        dict(
+                            boxes=r["boxes"][b][m],
+                            scores=r["scores"][b][m],
+                            labels=r["labels"][b][m] - 1,
+                            meta=(batch["meta"][b] if not multihost
+                                  else {"token": None}),
+                        )
+                    )
         return out
 
     def evaluate(
