@@ -16,10 +16,11 @@ from unidistill_tpu.ops.sparse_conv import (
 
 
 def _random_sparse(rng, shape, n_active, C, cap):
+    # sorted by the xy-major key (y·W+x)·D+z like the voxelizer's output
     D, H, W = shape
     lin = rng.choice(D * H * W, size=n_active, replace=False)
     lin.sort()
-    z, y, x = lin // (H * W), (lin // W) % H, lin % W
+    z, y, x = lin % D, lin // (D * W), (lin // D) % W
     coords = np.full((cap, 3), -1, np.int32)
     coords[:n_active] = np.stack([z, y, x], -1)
     feats = np.zeros((cap, C), np.float32)
@@ -180,3 +181,104 @@ def test_batched_ops_match_per_sample():
     np.testing.assert_allclose(
         np.asarray(gotd.features), np.asarray(refd.features), rtol=1e-5, atol=1e-5
     )
+
+
+def test_column_table_convs_match_sort_based():
+    """zslot/column-table taps (sort-free) == sort-based batched ops."""
+    from unidistill_tpu.ops.sparse_conv import (
+        build_stage_tables,
+        build_subm_rules_batched,
+        column_neighbor_slots,
+        down_column_queries,
+        downsample_sites_batched,
+        gather_gemm_zero_row,
+        sparse_conv_down_batched,
+        subm_column_queries,
+        subm_conv_batched,
+        taps_from_tables,
+    )
+
+    rng = np.random.RandomState(7)
+    shape = (6, 10, 12)
+    D, H, W = shape
+    B, C, cap, ncol = 3, 4, 64, 48
+    fs, cs = [], []
+    for b in range(B):
+        f, c = _random_sparse(rng, shape, 30 + 7 * b, C, cap)
+        fs.append(f)
+        cs.append(c)
+    st_b = from_voxels(jnp.stack(fs), jnp.stack(cs), shape)
+    w = jnp.asarray(rng.randn(27, C, 5).astype(np.float32))
+
+    # reference: sort-based batched subm conv
+    rules = build_subm_rules_batched(st_b, shape)
+    ref = subm_conv_batched(st_b, w, rules)
+
+    # table-based
+    def _w_xykz(wk, kz):
+        K, cin, cout = wk.shape
+        return wk.reshape(kz, K // kz, cin, cout).transpose(1, 0, 2, 3)
+
+    tb = build_stage_tables(st_b.keys, st_b.valid, shape, ncol)
+    q = subm_column_queries(tb, H, W)
+    nbr = column_neighbor_slots(tb, q, H * W)
+    taps = taps_from_tables(
+        tb, nbr, tb.col_of, st_b.coords[..., 0] - 1, 3, 9, D, cap
+    )
+    got = gather_gemm_zero_row(st_b.features, taps, _w_xykz(w, 3))
+    got = jnp.where(st_b.valid[..., None], got, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref.features), rtol=1e-5, atol=1e-5
+    )
+
+    # down conv: sort-based vs table-based
+    out_shape = (3, 5, 6)
+    wd = jnp.asarray(rng.randn(27, C, 6).astype(np.float32))
+    kw = dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1),
+              spatial_shape=shape, out_spatial_shape=out_shape, out_cap=48)
+    refd = sparse_conv_down_batched(st_b, wd, **kw)
+
+    oc, ok_, ov = downsample_sites_batched(
+        st_b, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape, 48
+    )
+    otb = build_stage_tables(ok_, ov, out_shape, ncol)
+    qd = down_column_queries(otb, (2, 2), (1, 1), (3, 3), (H, W),
+                             (out_shape[1], out_shape[2]))
+    nbrd = column_neighbor_slots(tb, qd, H * W)
+    zbase = oc[..., 0] * 2 - 1
+    tapsd = taps_from_tables(tb, nbrd, otb.col_of, zbase, 3, 9, D, cap)
+    gotd = gather_gemm_zero_row(st_b.features, tapsd, _w_xykz(wd, 3))
+    gotd = jnp.where(ov[..., None], gotd, 0.0)
+    np.testing.assert_array_equal(np.asarray(ok_), np.asarray(refd.keys))
+    np.testing.assert_allclose(
+        np.asarray(gotd), np.asarray(refd.features), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gather_gemm_superrow_matches_zero_row():
+    from unidistill_tpu.ops.sparse_conv import (
+        gather_gemm_superrow, gather_gemm_zero_row,
+    )
+
+    rng = np.random.RandomState(11)
+    B, V, C, XY, KZ, O = 2, 40, 4, 9, 3, 50
+    f = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(XY, KZ, C, 6).astype(np.float32))
+    # superrow contract: per (xy, site) the valid taps occupy consecutive
+    # rows within [r0, r0+2] (guaranteed by xy-major column layout)
+    idx = np.full((B, XY, KZ, O), V, np.int32)
+    for b in range(B):
+        for x in range(XY):
+            for o in range(O):
+                r0 = rng.randint(0, V - 3)
+                present = rng.rand(KZ) > 0.3
+                r = r0
+                for k in range(KZ):
+                    if present[k]:
+                        idx[b, x, k, o] = r
+                        r += 1
+    idx = jnp.asarray(idx)
+    ref = gather_gemm_zero_row(f, idx, w)
+    got = gather_gemm_superrow(f, idx, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -79,6 +79,10 @@ class LidarEncoderConfig:
     # outputs (strides 2, 4, 8, and the final (2,1,1)-z fold). The stride-1
     # stage's cap is the voxelizer's max_voxels — no separate knob (TPU-only).
     stage_voxel_caps: Tuple[int, ...] = (98304, 65536, 32768, 32768)
+    # BEV-column caps per voxel set (stage outputs s0, s2, s3, s4, s5) for
+    # the sort-free column/zslot neighbor tables (TPU-only; voxels in
+    # columns beyond the cap lose neighbor resolution)
+    stage_col_caps: Tuple[int, ...] = (65536, 49152, 32768, 16384, 16384)
 
 
 @dataclass(frozen=True)
@@ -368,6 +372,7 @@ def tiny_model(with_lidar: bool = True, with_camera: bool = True) -> ModelConfig
             voxel_size=(1.35, 1.35, 0.2),
             grid_size=(80, 80, 40),
             stage_voxel_caps=(1024, 512, 256, 256),
+            stage_col_caps=(1024, 512, 256, 256, 256),
         ),
         camera_encoder=CameraEncoderConfig(
             x_bound=(-54.0, 54.0, 10.8),

@@ -32,10 +32,14 @@ import jax.numpy as jnp
 from unidistill_tpu.configs.nuscenes import LidarEncoderConfig
 from unidistill_tpu.ops.sparse_conv import (
     SparseTensor,
-    build_subm_rules_batched,
+    build_stage_tables,
+    column_neighbor_slots,
+    down_column_queries,
+    downsample_sites_batched,
     from_voxels,
-    sparse_conv_down_batched,
-    subm_conv_batched,
+    gather_gemm_zero_row,
+    subm_column_queries,
+    taps_from_tables,
 )
 
 
@@ -75,6 +79,12 @@ class MaskedBatchNorm(nn.Module):
         return jnp.where(mask[..., None], y, 0.0).astype(x.dtype)
 
 
+def _w_xykz(w, kz: int):
+    """[K, Cin, Cout] z-major taps -> [ky·kx, kz, Cin, Cout]."""
+    K, cin, cout = w.shape
+    return w.reshape(kz, K // kz, cin, cout).transpose(1, 0, 2, 3)
+
+
 class _SubMConv(nn.Module):
     cin: int
     cout: int
@@ -83,12 +93,16 @@ class _SubMConv(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, st_b, rules_b):
+    def __call__(self, st_b, taps_b):
         w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
         b = self.param("bias", nn.initializers.zeros, (self.cout,)) if self.use_bias else None
-        w = w.astype(self.dtype)
-        bb = None if b is None else b.astype(self.dtype)
-        return subm_conv_batched(st_b, w, rules_b, bias=bb)
+        out = gather_gemm_zero_row(
+            st_b.features, taps_b, _w_xykz(w.astype(self.dtype), 3)
+        )
+        if b is not None:
+            out = out + b.astype(self.dtype)
+        out = jnp.where(st_b.valid[..., None], out, 0.0)
+        return st_b._replace(features=out)
 
 
 class _SparseDownConv(nn.Module):
@@ -100,21 +114,40 @@ class _SparseDownConv(nn.Module):
     spatial_shape: Tuple[int, int, int]
     out_spatial_shape: Tuple[int, int, int]
     out_cap: int
+    out_col_cap: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, st_b):
-        K = self.kernel_size[0] * self.kernel_size[1] * self.kernel_size[2]
-        w = self.param("kernel", _kaiming, (K, self.cin, self.cout)).astype(self.dtype)
-        return sparse_conv_down_batched(
-            st_b, w,
-            kernel_size=self.kernel_size,
-            stride=self.stride,
-            padding=self.padding,
-            spatial_shape=self.spatial_shape,
-            out_spatial_shape=self.out_spatial_shape,
-            out_cap=self.out_cap,
+    def __call__(self, st_b, in_tables):
+        """Returns (out SparseTensor, out StageTables)."""
+        kz, ky, kx = self.kernel_size
+        K = kz * ky * kx
+        w = self.param("kernel", _kaiming, (K, self.cin, self.cout))
+        out_coords, out_keys, out_valid = downsample_sites_batched(
+            st_b, self.kernel_size, self.stride, self.padding,
+            self.out_spatial_shape, self.out_cap,
         )
+        out_tb = build_stage_tables(
+            out_keys, out_valid, self.out_spatial_shape, self.out_col_cap
+        )
+        D_in, H_in, W_in = self.spatial_shape
+        _, H_out, W_out = self.out_spatial_shape
+        q = down_column_queries(
+            out_tb, (self.stride[1], self.stride[2]),
+            (self.padding[1], self.padding[2]), (ky, kx),
+            (H_in, W_in), (H_out, W_out),
+        )
+        nbr = column_neighbor_slots(in_tables, q, H_in * W_in)
+        zbase = out_coords[..., 0] * self.stride[0] - self.padding[0]
+        taps = taps_from_tables(
+            in_tables, nbr, out_tb.col_of, zbase, kz, ky * kx,
+            D_in, st_b.features.shape[1],
+        )
+        out = gather_gemm_zero_row(
+            st_b.features, taps, _w_xykz(w.astype(self.dtype), kz)
+        )
+        out = jnp.where(out_valid[..., None], out, 0.0)
+        return SparseTensor(out, out_coords, out_keys, out_valid), out_tb
 
 
 class SparseBasicBlock(nn.Module):
@@ -123,7 +156,7 @@ class SparseBasicBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, st_b, train: bool, rules_b=None):
+    def __call__(self, st_b, train: bool, rules_b):
         identity = st_b.features
         out = _SubMConv(self.planes, self.planes, True, self.spatial_shape,
                         self.dtype, name="conv1")(st_b, rules_b)
@@ -168,41 +201,54 @@ class VoxelResBackBone8x(nn.Module):
             f = MaskedBatchNorm(name=name)(st_b.features, st_b.valid, train)
             return st_b._replace(features=nn.relu(f))
 
-        def stage_rules(st_b, shape):
-            # one rule table per voxel set, shared by every SubM conv in the
-            # stage (spconv caches per indice_key the same way)
-            return build_subm_rules_batched(st_b, shape)
+        ccaps = cfg.stage_col_caps
 
-        r = stage_rules(st, s0)
+        def subm_taps(tb, st_b, shape):
+            # one tap table per voxel set, shared by every SubM conv in the
+            # stage (spconv caches per indice_key the same way)
+            D, H, W = shape
+            q = subm_column_queries(tb, H, W)
+            nbr = column_neighbor_slots(tb, q, H * W)
+            zbase = st_b.coords[..., 0] - 1
+            return taps_from_tables(
+                tb, nbr, tb.col_of, zbase, 3, 9, D, st_b.features.shape[1]
+            )
+
+        tb = build_stage_tables(st.keys, st.valid, s0, ccaps[0])
+        r = subm_taps(tb, st, s0)
         st = _SubMConv(feats.shape[-1], 16, False, s0, self.dtype,
                        name="conv_input")(st, r)
         st = bn_relu(st, "bn_input")
         st = SparseBasicBlock(16, s0, self.dtype, name="res1a")(st, train, r)
         st = SparseBasicBlock(16, s0, self.dtype, name="res1b")(st, train, r)
 
-        st = _SparseDownConv(16, 32, (3, 3, 3), (2, 2, 2), (1, 1, 1), s0, s2,
-                             caps[0], self.dtype, name="down2")(st)
+        st, tb = _SparseDownConv(16, 32, (3, 3, 3), (2, 2, 2), (1, 1, 1), s0,
+                                 s2, caps[0], ccaps[1], self.dtype,
+                                 name="down2")(st, tb)
         st = bn_relu(st, "bn2")
-        r = stage_rules(st, s2)
+        r = subm_taps(tb, st, s2)
         st = SparseBasicBlock(32, s2, self.dtype, name="res2a")(st, train, r)
         st = SparseBasicBlock(32, s2, self.dtype, name="res2b")(st, train, r)
 
-        st = _SparseDownConv(32, 64, (3, 3, 3), (2, 2, 2), (1, 1, 1), s2, s3,
-                             caps[1], self.dtype, name="down3")(st)
+        st, tb = _SparseDownConv(32, 64, (3, 3, 3), (2, 2, 2), (1, 1, 1), s2,
+                                 s3, caps[1], ccaps[2], self.dtype,
+                                 name="down3")(st, tb)
         st = bn_relu(st, "bn3")
-        r = stage_rules(st, s3)
+        r = subm_taps(tb, st, s3)
         st = SparseBasicBlock(64, s3, self.dtype, name="res3a")(st, train, r)
         st = SparseBasicBlock(64, s3, self.dtype, name="res3b")(st, train, r)
 
-        st = _SparseDownConv(64, 128, (3, 3, 3), (2, 2, 2), (0, 1, 1), s3, s4,
-                             caps[2], self.dtype, name="down4")(st)
+        st, tb = _SparseDownConv(64, 128, (3, 3, 3), (2, 2, 2), (0, 1, 1), s3,
+                                 s4, caps[2], ccaps[3], self.dtype,
+                                 name="down4")(st, tb)
         st = bn_relu(st, "bn4")
-        r = stage_rules(st, s4)
+        r = subm_taps(tb, st, s4)
         st = SparseBasicBlock(128, s4, self.dtype, name="res4a")(st, train, r)
         st = SparseBasicBlock(128, s4, self.dtype, name="res4b")(st, train, r)
 
-        st = _SparseDownConv(128, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0), s4, s5,
-                             caps[3], self.dtype, name="conv_out")(st)
+        st, tb = _SparseDownConv(128, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0),
+                                 s4, s5, caps[3], ccaps[4], self.dtype,
+                                 name="conv_out")(st, tb)
         st = bn_relu(st, "bn_out")
 
         # HeightCompression: dense [B, D, H, W, C] → [B, H, W, C*D], channel
@@ -219,9 +265,10 @@ class VoxelResBackBone8x(nn.Module):
         flat = jnp.zeros((B * span, C), dtype=st.features.dtype)
         flat = flat.at[gidx].set(st.features.reshape(-1, C), mode="drop")
         dense = flat.reshape(B, span, C)[:, : D * H * W].reshape(
-            B, D, H, W, C
+            B, H, W, D, C
         )
-        bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(-1, H, W, C * D)
+        # xy-major keys → dense is [B, H, W, D, C]; fold as channel c·D + d
+        bev = jnp.transpose(dense, (0, 1, 2, 4, 3)).reshape(-1, H, W, C * D)
         return bev
 
 

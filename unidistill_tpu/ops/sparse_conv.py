@@ -40,11 +40,16 @@ class SparseTensor(NamedTuple):
 
 
 def linear_key(coords: jnp.ndarray, spatial_shape: Tuple[int, int, int]):
-    """(z, y, x) -> z*H*W + y*W + x; invalid/out-of-bounds -> BIG sentinel."""
+    """(z, y, x) -> (y*W + x)*D + z; invalid/out-of-bounds -> BIG sentinel.
+
+    xy-MAJOR (column-major-in-z) on purpose: voxels of one BEV column sit in
+    consecutive rows, so (a) the z-taps of a 3³ kernel are array neighbors
+    (superrow gathers, one per xy offset) and (b) neighbor lookup reduces to
+    a per-COLUMN problem (ops count ∝ columns, not voxels)."""
     D, H, W = spatial_shape
     z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
     ok = (z >= 0) & (z < D) & (y >= 0) & (y < H) & (x >= 0) & (x < W)
-    key = (z * H + y) * W + x
+    key = (y * W + x) * D + z
     return jnp.where(ok, key, jnp.int32(D * H * W)), ok
 
 
@@ -262,9 +267,10 @@ def downsample_sites_batched(
         rank_s[:, :out_cap] < N, vals_s[:, :out_cap], BIG
     ).astype(jnp.int32)
     out_valid = out_keys < BIG
-    kz = jnp.where(out_valid, out_keys // (H * W), -1)
-    ky = jnp.where(out_valid, (out_keys // W) % H, -1)
-    kx = jnp.where(out_valid, out_keys % W, -1)
+    kz = jnp.where(out_valid, out_keys % D, -1)
+    col = out_keys // D
+    ky = jnp.where(out_valid, col // W, -1)
+    kx = jnp.where(out_valid, col % W, -1)
     out_coords = jnp.stack([kz, ky, kx], axis=-1).astype(jnp.int32)
     return out_coords, out_keys, out_valid
 
@@ -413,9 +419,10 @@ def downsample_sites(
     )
     out_valid = out_keys < BIG
     D, H, W = out_spatial_shape
-    kz = jnp.where(out_valid, out_keys // (H * W), -1)
-    ky = jnp.where(out_valid, (out_keys // W) % H, -1)
-    kx = jnp.where(out_valid, out_keys % W, -1)
+    kz = jnp.where(out_valid, out_keys % D, -1)
+    col = out_keys // D
+    ky = jnp.where(out_valid, col // W, -1)
+    kx = jnp.where(out_valid, col % W, -1)
     out_coords = jnp.stack([kz, ky, kx], axis=-1).astype(jnp.int32)
     return out_coords, out_keys, out_valid
 
@@ -469,4 +476,248 @@ def to_dense(
     flat = jnp.zeros((D * H * W + 1, C), dtype=st.features.dtype)
     idx = jnp.where(st.valid, st.keys, D * H * W)
     flat = flat.at[idx].set(st.features, mode="drop")
-    return flat[:-1].reshape(D, H, W, C)
+    # keys are xy-major: flat order is (y, x, z)
+    return flat[:-1].reshape(H, W, D, C).transpose(2, 0, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Column tables: sort-free neighbor resolution
+# ---------------------------------------------------------------------------
+#
+# Even the batched sort-based lookup costs ~1.1 s/step at nuScenes scale
+# (the sort itself is ~5 ns/element and each stage queries 27·V keys).
+# xy-major keys make neighbor lookup a per-COLUMN problem:
+#   * voxels of one BEV column are consecutive rows;
+#   * `zslot[col][z]` (a [NCOL, ZPAD] int32 table, built with ONE sorted-
+#     unique scatter) maps (column slot, z) -> voxel row;
+#   * the 3×3 xy kernel footprint needs only per-column neighbor slots
+#     (`searchsorted` over NCOL ≈ V/3 keys instead of 27·V);
+#   * per-voxel tap indices then come from wide-row gathers of zslot.
+# No per-voxel sort remains anywhere in the conv path.
+
+
+class StageTables(NamedTuple):
+    col_keys: jnp.ndarray  # [B, NCOL] int32 xy ids (y·W+x) sorted; H·W pad
+    col_of: jnp.ndarray    # [B, V] int32 column slot per voxel (NCOL if none)
+    zslot: jnp.ndarray     # [B, NCOL+1, ZPAD] int32 voxel row or V (absent)
+    zpad: int
+    ncol: int
+
+
+def build_stage_tables(
+    keys: jnp.ndarray, valid: jnp.ndarray,
+    spatial_shape: Tuple[int, int, int], ncol_cap: int,
+) -> StageTables:
+    """keys [B, V] xy-major sorted; valid [B, V]."""
+    B, V = keys.shape
+    D, H, W = spatial_shape
+    zpad = -(-D // 8) * 8
+    col = jnp.where(valid, keys // D, H * W)
+    z = jnp.where(valid, keys % D, 0)
+    is_new = jnp.concatenate(
+        [valid[:, :1], (col[:, 1:] != col[:, :-1]) & valid[:, 1:]], axis=1
+    )
+    col_of = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+    # overflowing columns (beyond the cap) drop their voxels' neighbor info
+    col_of = jnp.where(valid & (col_of < ncol_cap), col_of, ncol_cap)
+
+    # column keys via rank-sort compaction (no scatter)
+    rank = jnp.where(is_new & (col_of < ncol_cap), col_of, V)
+    rank_s, vals_s = jax.lax.sort((rank, col), dimension=1, num_keys=1)
+    pad_c = max(ncol_cap - V, 0)
+    if pad_c:
+        rank_s = jnp.pad(rank_s, ((0, 0), (0, pad_c)), constant_values=V)
+        vals_s = jnp.pad(vals_s, ((0, 0), (0, pad_c)), constant_values=H * W)
+    col_keys = jnp.where(
+        rank_s[:, :ncol_cap] < V, vals_s[:, :ncol_cap], H * W
+    ).astype(jnp.int32)
+
+    # zslot scatter: destinations strictly ascending per sample (keys sorted,
+    # invalid rows at the end dump past the table), so the scatter is
+    # sorted+unique — XLA's fast path
+    span = (ncol_cap + 1) * zpad
+    dump = span
+    dest_ok = valid & (col_of < ncol_cap)
+    dest = jnp.where(
+        dest_ok, col_of * zpad + z,
+        dump + jnp.arange(V, dtype=jnp.int32)[None, :],
+    )
+    gdest = (dest + jnp.arange(B, dtype=jnp.int32)[:, None] * (span + V)).reshape(-1)
+    rows = jnp.broadcast_to(
+        jnp.arange(V, dtype=jnp.int32)[None, :], (B, V)
+    ).reshape(-1)
+    flat = jnp.full((B * (span + V),), V, dtype=jnp.int32)
+    flat = flat.at[gdest].set(rows, indices_are_sorted=True,
+                              unique_indices=True)
+    zslot = flat.reshape(B, span + V)[:, :span].reshape(B, ncol_cap + 1, zpad)
+    # sentinel column row must stay all-V (nothing scatters there: col_of is
+    # clamped to ncol_cap only for dumped voxels)
+    return StageTables(col_keys, col_of, zslot, zpad, ncol_cap)
+
+
+def column_neighbor_slots(
+    in_tables: StageTables,
+    query_cols: jnp.ndarray,  # [B, NOFF, NQ] xy ids (or ≥ H·W+1 when invalid)
+    hw: int,
+) -> jnp.ndarray:
+    """Look up query column ids in the input stage's column keys. Returns
+    slot ids [B, NQ, NOFFPAD] (in_tables.ncol when absent), padded to a
+    multiple of 8 offsets for wide gathers."""
+    B, NOFF, NQ = query_cols.shape
+    idx, found = _lookup_banded(in_tables.col_keys, query_cols, hw + 2)
+    slots = jnp.where(found, idx, in_tables.ncol).astype(jnp.int32)
+    noffp = -(-NOFF // 8) * 8
+    slots = jnp.transpose(slots, (0, 2, 1))  # [B, NQ, NOFF]
+    if noffp != NOFF:
+        slots = jnp.pad(slots, ((0, 0), (0, 0), (0, noffp - NOFF)),
+                        constant_values=in_tables.ncol)
+    return slots
+
+
+def _decode_cols(col_keys: jnp.ndarray, W: int, H: int):
+    y = col_keys // W
+    x = col_keys % W
+    ok = col_keys < H * W
+    return y, x, ok
+
+
+def subm_column_queries(tables: StageTables, H: int, W: int, ksz: int = 3):
+    """[B, k², NCOL] neighbor-column ids for a submanifold kernel."""
+    y, x, ok = _decode_cols(tables.col_keys, W, H)
+    qs = []
+    r = ksz // 2
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            ny, nx_ = y + dy, x + dx
+            inb = ok & (ny >= 0) & (ny < H) & (nx_ >= 0) & (nx_ < W)
+            qs.append(jnp.where(inb, ny * W + nx_, H * W + 1))
+    return jnp.stack(qs, axis=1)
+
+
+def down_column_queries(
+    out_tables: StageTables,
+    stride_yx: Tuple[int, int],
+    padding_yx: Tuple[int, int],
+    kernel_yx: Tuple[int, int],
+    in_hw: Tuple[int, int],
+    out_hw: Tuple[int, int],
+):
+    """[B, ky·kx, NCOL_out] input-column ids per output column and xy tap."""
+    H_in, W_in = in_hw
+    H_out, W_out = out_hw
+    y, x, ok = _decode_cols(out_tables.col_keys, W_out, H_out)
+    sy, sx = stride_yx
+    py, px = padding_yx
+    qs = []
+    for ky in range(kernel_yx[0]):
+        for kx in range(kernel_yx[1]):
+            iy = y * sy - py + ky
+            ix = x * sx - px + kx
+            inb = ok & (iy >= 0) & (iy < H_in) & (ix >= 0) & (ix < W_in)
+            qs.append(jnp.where(inb, iy * W_in + ix, H_in * W_in + 1))
+    return jnp.stack(qs, axis=1)
+
+
+def taps_from_tables(
+    in_tables: StageTables,
+    nbr_slots: jnp.ndarray,   # [B, NCOL_src+?..., NOFFPAD] per-column slots
+    col_of: jnp.ndarray,      # [B, O] column slot of each output site
+    zbase: jnp.ndarray,       # [B, O] first z tap in INPUT z coords
+    kz: int,
+    n_xy: int,
+    d_in: int,
+    v_in: int,
+):
+    """Per-site tap row indices [B, n_xy, kz, O] into [0, v_in] (v_in = the
+    zero row). One wide gather resolves all xy slots per site; one zslot
+    row gather per (sample, xy) resolves every z tap."""
+    B, O = col_of.shape
+    zpad = in_tables.zpad
+    ziota = jnp.arange(zpad, dtype=jnp.int32)
+    out = []
+    for b in range(B):
+        # [O, NOFFPAD]: all xy neighbor slots for each site's column
+        slots_tab = jnp.concatenate(
+            [nbr_slots[b],
+             jnp.full((1, nbr_slots.shape[-1]), in_tables.ncol, jnp.int32)],
+            axis=0,
+        )
+        sv = slots_tab[jnp.minimum(col_of[b], slots_tab.shape[0] - 1)]
+        taps_b = []
+        for o in range(n_xy):
+            zrow = in_tables.zslot[b][sv[:, o]]  # [O, ZPAD]
+            for dz in range(kz):
+                zq = zbase[b] + dz
+                oh = (ziota[None, :] == zq[:, None]) & (zq[:, None] >= 0) & (
+                    zq[:, None] < d_in
+                )
+                idx = jnp.sum(jnp.where(oh, zrow, 0), axis=1)
+                idx = jnp.where(jnp.any(oh, axis=1), idx, v_in)
+                taps_b.append(idx)
+        out.append(jnp.stack(taps_b).reshape(n_xy, kz, O))
+    return jnp.stack(out)
+
+
+def gather_gemm_superrow(features_b, idx_b, weight_xykz):
+    """Like `gather_gemm_zero_row` but exploits z-adjacency: xy-major keys
+    put a column's voxels in consecutive rows, so the ≤3 z-taps of one xy
+    offset live in rows [r0, r0+2]. ONE gather of a [V+1, 3C] shifted-concat
+    table per (xy, site) replaces three row gathers — per-row cost dominates
+    gathers on TPU. Requires KZ ≤ 3.
+
+    Measured NOTE: in the full encoder this is ~10% SLOWER than
+    `gather_gemm_zero_row` — the slot-select materializes the [XY, KZ, O, C]
+    tap tensor that XLA otherwise fuses into the einsum, costing more HBM
+    traffic than the gather rows saved. Kept as a reference implementation;
+    the encoder uses the zero-row path."""
+    B, V, C = features_b.shape
+    XY, KZ = idx_b.shape[1], idx_b.shape[2]
+    assert KZ <= 3
+    w = weight_xykz.astype(features_b.dtype)
+    outs = []
+    for b in range(B):
+        f = features_b[b]
+        zrow1 = jnp.zeros((1, C), f.dtype)
+        zrow2 = jnp.zeros((2, C), f.dtype)
+        t3 = jnp.concatenate(
+            [f,
+             jnp.concatenate([f[1:], zrow1]),
+             jnp.concatenate([f[2:], zrow2])],
+            axis=1,
+        )
+        t3 = jnp.concatenate([t3, jnp.zeros((1, 3 * C), f.dtype)])  # row V = 0
+        idx = idx_b[b]  # [XY, KZ, O]; V = absent
+        r0 = jnp.min(idx, axis=1)  # [XY, O]
+        nf3 = t3[r0.reshape(-1)].reshape(XY, -1, 3, C)  # [XY, O, 3, C]
+        s = idx - r0[:, None, :]
+        valid = idx < V
+        taps = jnp.zeros((XY, KZ, idx.shape[-1], C), f.dtype)
+        for sl in range(3):
+            m = (s == sl) & valid  # [XY, KZ, O]
+            taps = taps + jnp.where(
+                m[..., None], nf3[:, None, :, sl, :], 0.0
+            )
+        outs.append(
+            jnp.einsum("xzoc,xzci->oi", taps, w,
+                       preferred_element_type=f.dtype)
+        )
+    return jnp.stack(outs)
+
+
+def gather_gemm_zero_row(features_b, idx_b, weight_xykz):
+    """features_b [B, V, C]; idx_b [B, XY, KZ, O] (V = zero row);
+    weight_xykz [XY, KZ, Cin, Cout]. Per-sample static unroll (VMEM-resident
+    tables) -> [B, O, Cout]."""
+    B, V, C = features_b.shape
+    w = weight_xykz.astype(features_b.dtype)
+    outs = []
+    for b in range(B):
+        fz = jnp.concatenate(
+            [features_b[b], jnp.zeros((1, C), features_b.dtype)]
+        )
+        nf = fz[idx_b[b].reshape(-1)].reshape(idx_b.shape[1:] + (C,))
+        outs.append(
+            jnp.einsum("xzoc,xzci->oi", nf, w,
+                       preferred_element_type=features_b.dtype)
+        )
+    return jnp.stack(outs)

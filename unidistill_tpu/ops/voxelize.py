@@ -68,8 +68,9 @@ def voxelize(
         & (vc[:, 2] < nz)
         & points_mask
     )
-    # linear key (z, y, x) ordering to match spconv coordinate layout
-    key = (vc[:, 2] * ny + vc[:, 1]) * nx + vc[:, 0]
+    # xy-major linear key — must match ops/sparse_conv.linear_key so voxel
+    # slots arrive column-contiguous in z (one BEV column = consecutive rows)
+    key = (vc[:, 1] * nx + vc[:, 0]) * nz + vc[:, 2]
     big = jnp.int32(nx * ny * nz)
     key = jnp.where(in_range, key, big)
 
