@@ -78,6 +78,77 @@ def bench_eval(exp_factory, overhead_s):
     )
 
 
+def bench_distill_train(overhead_s):
+    """Distill train step (camera student ← lidar teacher): sec/it at b=4
+    (ref …camera_exp_distill_lidar.py:438-513 is the reference hot loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synth_batch
+    from unidistill_tpu.configs.nuscenes import (
+        DISTILL_VARIANTS,
+        camera_exp,
+        lidar_exp,
+    )
+    from unidistill_tpu.models.bevfusion import BEVFusionCenterHead
+    from unidistill_tpu.training.steps import distill_train_step, model_inputs
+    from unidistill_tpu.training.train_state import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    s_cfg = camera_exp().model
+    t_cfg = lidar_exp().model
+    dcfg = DISTILL_VARIANTS[("lidar", "camera")]
+    # batch carries both modalities (teacher consumes lidar, student camera)
+    both = dataclasses_replace_both(s_cfg, t_cfg)
+    batch = jax.tree.map(jnp.asarray, _synth_batch(both, BATCH))
+
+    student = BEVFusionCenterHead(s_cfg)
+    teacher = BEVFusionCenterHead(t_cfg)
+    kw_s = model_inputs(jax.tree.map(lambda x: x[:1], batch), s_cfg, training=True)
+    kw_t = model_inputs(jax.tree.map(lambda x: x[:1], batch), t_cfg, training=False)
+    sv = jax.jit(lambda k: student.init(k, **kw_s, train=True))(jax.random.PRNGKey(0))
+    tv = jax.jit(lambda k: teacher.init(k, **kw_t, train=False))(jax.random.PRNGKey(1))
+    jax.block_until_ready((sv, tv))
+    tx = make_optimizer(2e-4, 1e-7, 0.1)
+    state = create_train_state(sv, tx)
+
+    step = jax.jit(
+        functools.partial(
+            distill_train_step,
+            student_model=student, teacher_model=teacher, tx=tx,
+            student_cfg=s_cfg, teacher_cfg=t_cfg, dcfg=dcfg,
+        )
+    )
+    t_params = tv["params"]
+    t_stats = tv.get("batch_stats", {})
+
+    def run():
+        new_state, metrics = step(state, t_params, t_stats, batch)
+        return float(metrics["loss"])
+
+    run()  # compile + warm
+    raw = median_sync_time(run, reps=5)
+    net = max(raw - overhead_s, 1e-9)
+    return dict(
+        sec_per_it=round(net, 3),
+        sec_per_it_raw=round(raw, 3),
+        frames_per_sec=round(BATCH / net, 2),
+    )
+
+
+def dataclasses_replace_both(s_cfg, t_cfg):
+    """Config whose caps/flags produce a batch covering both modalities."""
+    import dataclasses
+
+    return dataclasses.replace(
+        s_cfg if s_cfg.with_lidar or not t_cfg.with_lidar else t_cfg,
+        with_lidar=s_cfg.with_lidar or t_cfg.with_lidar,
+        with_camera=s_cfg.with_camera or t_cfg.with_camera,
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -109,6 +180,16 @@ def main():
                 cam = r
         except Exception as e:  # noqa: BLE001 — always emit the JSON line
             extra[f"{name}_eval"] = f"failed: {type(e).__name__}: {e}"[:200]
+
+    if time.time() - _T0 <= TIME_BUDGET_S:
+        try:
+            extra["distill_train_lidar_to_camera"] = bench_distill_train(ovh)
+        except Exception as e:  # noqa: BLE001
+            extra["distill_train_lidar_to_camera"] = (
+                f"failed: {type(e).__name__}: {e}"[:200]
+            )
+    else:
+        extra["distill_train_lidar_to_camera"] = "skipped: time budget"
 
     fps = cam["fps"] if cam else 0.0
     print(

@@ -1,0 +1,71 @@
+"""BEV spatial sharding (2-D dp×bev mesh, GSPMD halos) vs the replicated
+path — 8 virtual CPU devices (conftest)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _synth_batch
+from unidistill_tpu.configs.nuscenes import tiny_model
+from unidistill_tpu.models.bevfusion import BEVFusionCenterHead
+from unidistill_tpu.parallel.spatial import (
+    eval_step_spatial,
+    forward_spatial,
+    make_mesh_2d,
+)
+from unidistill_tpu.training.steps import eval_step, model_inputs
+from unidistill_tpu.training.train_state import (
+    create_train_state,
+    make_optimizer,
+)
+
+
+def test_spatial_eval_matches_replicated():
+    cfg = tiny_model()
+    B = 4
+    batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, B))
+    model = BEVFusionCenterHead(cfg)
+    kw = model_inputs(jax.tree.map(lambda x: x[:1], batch), cfg, training=False)
+    variables = model.init(jax.random.PRNGKey(0), **kw, train=False)
+    state = create_train_state(variables, make_optimizer(1e-3, 1e-7, 0.1))
+
+    ref = jax.jit(
+        lambda s, b: eval_step(s, b, model=model, cfg=cfg)
+    )(state, batch)
+
+    mesh = make_mesh_2d(dp=2, bev=4)
+    # no ambient-mesh context needed: constraints use explicit NamedSharding
+    got = jax.jit(
+        lambda s, b: eval_step_spatial(s, b, model=model, cfg=cfg, mesh=mesh)
+    )(state, batch)
+
+    # GSPMD partitioning must be numerically equivalent (same graph, halos
+    # inserted by the compiler); bf16 convs reduce in the same order per
+    # shard so allow small tolerance. Post-NMS box SLOTS are not compared:
+    # with random-init weights the heatmap scores are near-tied and the
+    # keep order is tie-break-unstable across graph variants.
+    np.testing.assert_allclose(
+        np.asarray(got["scores"], np.float32),
+        np.asarray(ref["scores"], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    assert bool(jnp.all(got["mask"] == ref["mask"]))
+
+    # the direct object of the sharding: the dense BEV pipeline's features
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    bev_ref = model.apply(
+        variables, **model_inputs(batch, cfg, training=False), train=False
+    )["bev_feature"]
+    bev_sp = jax.jit(
+        lambda v, b: forward_spatial(model, v, b, cfg, mesh)["bev_feature"]
+    )(variables, batch)
+    np.testing.assert_allclose(
+        np.asarray(bev_sp, np.float32), np.asarray(bev_ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_mesh_2d_shape_guard():
+    import pytest
+
+    with pytest.raises(AssertionError):
+        make_mesh_2d(dp=4, bev=4)  # only 8 virtual devices available

@@ -96,7 +96,13 @@ def subm_window_overflow(
     block: int, window: int,
 ) -> jnp.ndarray:
     """Max rows by which any (block, tap) window undershoots its true
-    neighbor range (0 = exact). Diagnostic / test helper."""
+    neighbor range (0 = exact). Diagnostic / test helper.
+
+    PESSIMISTIC: ranges use each block's last key INCLUDING BIG padding
+    rows, so blocks straddling the valid/pad boundary inflate the metric
+    (padding keys need no neighbors). A nonzero value does not by itself
+    mean dropped neighbors — cross-check against the gather-GEMM oracle,
+    as the tests do."""
     D, H, W = spatial_shape
     B, V = keys.shape
     kmin = keys[:, ::block]
