@@ -233,3 +233,33 @@ def test_bev_pool_pallas_scatter_matches_xla():
         )
     ).reshape(B, ny, nx, C)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_voxelize_batched_matches_vmapped():
+    """Flat-global batched voxelizer == vmapped per-sample voxelizer
+    (the eval/train steps use the batched path; PROFILE.md)."""
+    import jax
+
+    from unidistill_tpu.ops.voxelize import voxelize_batched
+
+    rng = np.random.RandomState(3)
+    B, P = 3, 2048
+    pts = rng.uniform(-12, 12, (B, P, 5)).astype(np.float32)
+    mask = rng.rand(B, P) < 0.8
+    pcr = (-10.0, -10.0, -3.0, 10.0, 10.0, 3.0)
+    vsz = (0.5, 0.5, 0.5)
+    grid = (40, 40, 12)
+
+    def one(p, m):
+        out = voxelize(jnp.asarray(p), jnp.asarray(m), pcr, vsz, grid,
+                       max_voxels=512, max_points_per_voxel=5)
+        return out.features, out.coords
+
+    ref_f, ref_c = jax.vmap(one)(jnp.asarray(pts), jnp.asarray(mask))
+    got_f, got_c = voxelize_batched(
+        jnp.asarray(pts), jnp.asarray(mask), pcr, vsz, grid,
+        max_voxels=512, max_points_per_voxel=5,
+    )
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-5)
+    assert bool(jnp.all(got_c == ref_c))

@@ -31,24 +31,22 @@ from unidistill_tpu.losses.distill import (
     gt_corners_bev,
     response_distill_loss,
 )
-from unidistill_tpu.ops.voxelize import voxelize
+from unidistill_tpu.ops.voxelize import voxelize_batched
 from unidistill_tpu.targets.assigner import assign_targets
 from unidistill_tpu.training.train_state import TrainState
 
 
 def voxelize_batch(batch: Dict[str, jnp.ndarray], cfg: ModelConfig, training: bool):
-    """Device-side voxelization + mean VFE over the padded point batch."""
+    """Device-side voxelization + mean VFE over the padded point batch
+    (flat-global batched path; identical to vmapped `voxelize`, ~15% faster
+    — PROFILE.md)."""
     caps = cfg.caps
     max_v = caps.max_voxels_train if training else caps.max_voxels_eval
-
-    def one(p, m):
-        out = voxelize(
-            p, m, cfg.point_cloud_range, cfg.voxel_size, cfg.grid_size,
-            max_voxels=max_v, max_points_per_voxel=caps.max_points_per_voxel,
-        )
-        return out.features, out.coords
-
-    return jax.vmap(one)(batch["points"], batch["points_mask"])
+    return voxelize_batched(
+        batch["points"], batch["points_mask"], cfg.point_cloud_range,
+        cfg.voxel_size, cfg.grid_size, max_voxels=max_v,
+        max_points_per_voxel=caps.max_points_per_voxel,
+    )
 
 
 def model_inputs(batch, cfg: ModelConfig, training: bool) -> Dict[str, Any]:
