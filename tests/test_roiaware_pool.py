@@ -106,3 +106,16 @@ def test_bev_in_boxes_range_clip():
     assert out[4, 4] == 0 and out[0, 0] == -1
     # grid x=-1.0 is inside the box AND inside the range
     assert out[2, 4] == 0
+
+
+def test_roiaware_avg_bf16_count_not_saturated():
+    """bf16 features with >256 points in one cell: counts must accumulate in
+    f32 or the mean is silently inflated (bf16 saturates at 256)."""
+    n = 400
+    rois = jnp.array([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0]], jnp.float32)
+    pts = jnp.zeros((n, 3), jnp.float32)  # all in the center cell
+    feats = jnp.ones((n, 1), jnp.bfloat16) * 2.0
+    out = roiaware_pool3d(rois, pts, feats, 2, "avg")
+    # mean of 400 identical 2.0s must be 2.0, not 400*2/256 = 3.125
+    cell = np.asarray(out, np.float32)
+    assert abs(cell.max() - 2.0) < 1e-2, cell.max()

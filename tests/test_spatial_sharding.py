@@ -56,7 +56,7 @@ def test_spatial_eval_matches_replicated():
         variables, **model_inputs(batch, cfg, training=False), train=False
     )["bev_feature"]
     bev_sp = jax.jit(
-        lambda v, b: forward_spatial(model, v, b, cfg, mesh)["bev_feature"]
+        lambda v, b: forward_spatial(model, v, b, cfg, mesh)[0]["bev_feature"]
     )(variables, batch)
     np.testing.assert_allclose(
         np.asarray(bev_sp, np.float32), np.asarray(bev_ref, np.float32),

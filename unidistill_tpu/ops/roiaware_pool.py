@@ -93,20 +93,24 @@ def roiaware_pool3d(
 
     feats = jnp.broadcast_to(pts_feature[None], (n, p, c_ch)).reshape(-1, c_ch)
     num_segments = n * cells + 1
+    # counts in f32 regardless of feature dtype: bf16 accumulation saturates
+    # at 256 points/cell and silently skews the avg-pool mean
+    counts = jax.ops.segment_sum(
+        jnp.ones((n * p,), jnp.float32), flat, num_segments=num_segments
+    )
     if pool_method == "max":
         pooled = jax.ops.segment_max(
             feats, flat, num_segments=num_segments, indices_are_sorted=False
         )
-        counts = jax.ops.segment_sum(
-            jnp.ones((n * p,), pts_feature.dtype), flat, num_segments=num_segments
-        )
         pooled = jnp.where(counts[:, None] > 0, pooled, 0.0)
     else:
-        sums = jax.ops.segment_sum(feats, flat, num_segments=num_segments)
-        counts = jax.ops.segment_sum(
-            jnp.ones((n * p,), pts_feature.dtype), flat, num_segments=num_segments
+        # accumulate in f32: a bf16 running sum saturates (ulp ≥ 4 past 512)
+        sums = jax.ops.segment_sum(
+            feats.astype(jnp.float32), flat, num_segments=num_segments
         )
-        pooled = sums / jnp.maximum(counts[:, None], 1.0)
+        pooled = (
+            sums / jnp.maximum(counts[:, None], 1.0)
+        ).astype(pts_feature.dtype)
     return pooled[: n * cells].reshape(n, ox, oy, oz, c_ch)
 
 

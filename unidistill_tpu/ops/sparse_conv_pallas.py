@@ -60,35 +60,40 @@ def _key_delta(dy: int, dx: int, dz: int, D: int, W: int) -> int:
     return (dy * W + dx) * D + dz
 
 
+def _tap_window_start(keys, kmin, delta, V, window):
+    """Aligned window start for one xy-offset — the SINGLE definition shared
+    by the kernel launcher and the overflow diagnostic (they must agree or
+    the diagnostic measures a different window than the kernel reads).
+
+    128-row alignment: Mosaic requires dynamic memref slices on the minor
+    (lane-tiled) dim to be 128-divisible."""
+    q = kmin + delta
+    ws = jax.vmap(lambda k, qq: jnp.searchsorted(k, qq, method="sort"))(
+        keys, q
+    ).astype(jnp.int32)
+    return jnp.minimum(jnp.maximum(ws - 1, 0) & ~jnp.int32(127), V - window)
+
+
 def window_starts(
     keys: jnp.ndarray, spatial_shape: Tuple[int, int, int],
     block: int, window: int,
 ):
     """Per-(sample, block, xy-offset) aligned window starts.
 
-    keys: [B, V] sorted (BIG = D·H·W on padding). Returns [B, NB, 16] int32
-    (9 used, padded to 16 for SMEM friendliness)."""
+    keys: [B, V] sorted (BIG = D·H·W on padding). Returns a FLAT
+    [B·NB·9] int32 array in (sample, block, offset) order — flattened for
+    SMEM scalar prefetch (a trailing dim of 9/16 would be lane-padded to
+    128 and blow the 1 MB SMEM budget at nuScenes NB); the kernel indexes
+    it as ws[(b·NB + i)·9 + o]."""
     D, H, W = spatial_shape
     B, V = keys.shape
     nb = V // block
     kmin = keys[:, ::block]  # [B, NB] first key of each block
-    starts = []
-    for dy, dx in _XY_OFFS:
-        delta = _key_delta(dy, dx, -1, D, W)
-        q = kmin + delta
-        ws = jax.vmap(lambda k, qq: jnp.searchsorted(k, qq, method="sort"))(
-            keys, q
-        ).astype(jnp.int32)
-        ws = jnp.maximum(ws - 1, 0)
-        # 128-row alignment: Mosaic requires dynamic memref slices on the
-        # minor (lane-tiled) dim to be 128-divisible
-        ws = ws & ~jnp.int32(127)
-        ws = jnp.minimum(ws, V - window)
-        starts.append(ws)
-    out = jnp.stack(starts, axis=-1)  # [B, NB, 9]
-    # flattened for SMEM prefetch: a trailing dim of 9/16 would be padded to
-    # 128 lanes and blow the 1 MB SMEM budget at nuScenes NB
-    return out.reshape(-1)
+    starts = [
+        _tap_window_start(keys, kmin, _key_delta(dy, dx, -1, D, W), V, window)
+        for dy, dx in _XY_OFFS
+    ]
+    return jnp.stack(starts, axis=-1).reshape(-1)
 
 
 def subm_window_overflow(
@@ -109,13 +114,13 @@ def subm_window_overflow(
     kmax = keys[:, block - 1::block]
     worst = jnp.int32(0)
     for dy, dx in _XY_OFFS:
-        lo = kmin + _key_delta(dy, dx, -1, D, W)
         hi = kmax + _key_delta(dy, dx, 1, D, W)
-        ws = jax.vmap(lambda k, q: jnp.searchsorted(k, q, method="sort"))(keys, lo)
         we = jax.vmap(
             lambda k, q: jnp.searchsorted(k, q, side="right", method="sort")
         )(keys, hi)
-        ws = jnp.minimum(jnp.maximum(ws - 1, 0) & ~jnp.int32(127), V - window)
+        ws = _tap_window_start(
+            keys, kmin, _key_delta(dy, dx, -1, D, W), V, window
+        )
         worst = jnp.maximum(worst, jnp.max(we - (ws + window)))
     return jnp.maximum(worst, 0)
 

@@ -183,8 +183,12 @@ def voxelize_batched(
     czyx = jnp.stack([svc[..., 2], svc[..., 1], svc[..., 0]], -1)
     gdest = (jnp.where(is_start, seg, V) + boff).reshape(-1)
     slot_coords = jnp.full((B * (V + 1), 3), -1, jnp.int32)
+    # NOT indices_are_sorted: the dump index V interleaves between ascending
+    # slot ids whenever a voxel holds >1 point (claiming sortedness here is
+    # implementation-defined and can corrupt coords under a sorted-scatter
+    # lowering; gseg above IS sorted, gdest is not)
     slot_coords = slot_coords.at[gdest].set(
-        czyx.reshape(-1, 3), mode="drop", indices_are_sorted=True
+        czyx.reshape(-1, 3), mode="drop"
     )
     slot_coords = slot_coords.reshape(B, V + 1, 3)[:, :V]
     return feats, slot_coords

@@ -54,9 +54,10 @@ def constrain_bev(x, mesh: Mesh):
 def forward_spatial(model, variables, batch, cfg, mesh: Mesh, train: bool = False):
     """Model forward with the dense BEV pipeline spatially sharded.
 
-    Returns the usual output dict; encoder outputs and the BEV features are
-    constrained to [dp, bev] so every dense 2D conv (bev backbone, heads)
-    runs partitioned with XLA-managed halos."""
+    Returns (output dict, batch_stats): encoder outputs and the BEV features
+    are constrained to [dp, bev] so every dense 2D conv (bev backbone,
+    heads) runs partitioned with XLA-managed halos. In train mode the
+    mutated BatchNorm stats are returned (eval returns the input stats)."""
     from unidistill_tpu.training.steps import model_inputs
 
     kw = model_inputs(batch, cfg, training=train)
@@ -64,15 +65,19 @@ def forward_spatial(model, variables, batch, cfg, mesh: Mesh, train: bool = Fals
         kw["imgs"] = jax.lax.with_sharding_constraint(
             kw["imgs"], NamedSharding(mesh, P(DP_AXIS))
         )
-    out = model.apply(
-        {"params": variables["params"],
-         "batch_stats": variables.get("batch_stats", {})},
-        **kw, train=train,
-    )
+    stats = variables.get("batch_stats", {})
+    v = {"params": variables["params"], "batch_stats": stats}
+    if train:
+        out, mutated = model.apply(
+            v, **kw, train=True, mutable=["batch_stats"]
+        )
+        stats = mutated["batch_stats"]
+    else:
+        out = model.apply(v, **kw, train=False)
     out = dict(out)
     out["model_output"] = constrain_bev(out["model_output"], mesh)
     out["bev_feature"] = constrain_bev(out["bev_feature"], mesh)
-    return out
+    return out, stats
 
 
 def eval_step_spatial(state, batch, model, cfg, mesh: Mesh):
@@ -81,7 +86,7 @@ def eval_step_spatial(state, batch, model, cfg, mesh: Mesh):
     sharded inputs."""
     from unidistill_tpu.decode.proposals import generate_proposals
 
-    out = forward_spatial(
+    out, _ = forward_spatial(
         model, {"params": state.params, "batch_stats": state.batch_stats},
         batch, cfg, mesh, train=False,
     )
