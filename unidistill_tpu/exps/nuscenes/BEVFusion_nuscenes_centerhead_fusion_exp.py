@@ -2,6 +2,13 @@
 
 ref …BEVFusion_nuscenes_centerhead_fusion_exp.py:177-215.
 """
+# allow `python unidistill_tpu/exps/nuscenes/<exp>.py` from a source checkout:
+# the interpreter puts the SCRIPT's dir on sys.path, not the repo root
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[3]))
+
 from unidistill_tpu.configs.nuscenes import fusion_exp
 from unidistill_tpu.exps.base_cli import run_cli
 
