@@ -47,6 +47,39 @@ def make_frustum(cfg: CameraEncoderConfig) -> np.ndarray:
     return np.stack([uu, vv, dd, ones], axis=-1)
 
 
+def inv44(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched 4×4 matrices (cofactor/adjugate).
+
+    `jnp.linalg.inv` lowers to a LAPACK custom call on CPU, which segfaults
+    when a `jax.export`-serialized module is deserialized and compiled in a
+    fresh process (reproduced with a toy inv-only export on this stack);
+    the camera matrices here are tiny, so the explicit adjugate is both
+    export-safe and cheaper than the LU path."""
+    a = [[m[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(r0, r1, r2, c0, c1, c2):
+        return (
+            a[r0][c0] * (a[r1][c1] * a[r2][c2] - a[r1][c2] * a[r2][c1])
+            - a[r0][c1] * (a[r1][c0] * a[r2][c2] - a[r1][c2] * a[r2][c0])
+            + a[r0][c2] * (a[r1][c0] * a[r2][c1] - a[r1][c1] * a[r2][c0])
+        )
+
+    rows = (0, 1, 2, 3)
+    cof = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        ri = tuple(r for r in rows if r != i)
+        for j in range(4):
+            cj = tuple(c for c in rows if c != j)
+            minor = det3(ri[0], ri[1], ri[2], cj[0], cj[1], cj[2])
+            cof[i][j] = minor if (i + j) % 2 == 0 else -minor
+    det = sum(a[0][j] * cof[0][j] for j in range(4))
+    adj = jnp.stack(
+        [jnp.stack([cof[i][j] for i in range(4)], axis=-1) for j in range(4)],
+        axis=-2,
+    )  # transpose of cofactors
+    return adj / det[..., None, None]
+
+
 def get_geometry(
     frustum: jnp.ndarray,
     sensor2ego: jnp.ndarray,
@@ -62,12 +95,12 @@ def get_geometry(
       bda: [B, 4, 4] or None.
     Returns: [B, N_cam, D, fH, fW, 3].
     """
-    ida_inv = jnp.linalg.inv(ida)
+    ida_inv = inv44(ida)
     pts = jnp.einsum("bnij,dhwj->bndhwi", ida_inv, frustum)
     pts = jnp.concatenate(
         [pts[..., :2] * pts[..., 2:3], pts[..., 2:]], axis=-1
     )
-    combine = sensor2ego @ jnp.linalg.inv(intrin)
+    combine = sensor2ego @ inv44(intrin)
     pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
     if bda is not None:
         pts = jnp.einsum("bij,bndhwj->bndhwi", bda, pts)

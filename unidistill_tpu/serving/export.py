@@ -1,0 +1,114 @@
+"""Serving export: serialize the jitted eval step to a portable artifact.
+
+No reference analog (the reference serves by loading torch checkpoints into
+a live PL module, base_cli.py:53-56); for TPU production serving the
+natural unit is an AOT-exported StableHLO program: `jax.export` captures
+the WHOLE eval pipeline — voxelize → encoders → BEV backbone → heads →
+decode + NMS — with the weights baked in, so a serving host needs only
+`load_detector(path).predict(batch)` and no model code.
+
+Artifact layout (a directory):
+  model.stablehlo   jax.export serialization (weights embedded as consts)
+  meta.json         modality flags + expected input shapes/dtypes
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from unidistill_tpu.configs.nuscenes import ModelConfig
+from unidistill_tpu.models.bevfusion import BEVFusionCenterHead
+from unidistill_tpu.training.steps import eval_step
+
+
+def _batch_spec(cfg: ModelConfig, batch_size: int) -> Dict[str, Any]:
+    """ShapeDtypeStructs of the eval input batch at the configured caps."""
+    spec: Dict[str, Any] = {}
+    if cfg.with_lidar:
+        P = cfg.caps.max_points
+        spec["points"] = jax.ShapeDtypeStruct((batch_size, P, 5), jnp.float32)
+        spec["points_mask"] = jax.ShapeDtypeStruct((batch_size, P), jnp.bool_)
+    if cfg.with_camera:
+        n = cfg.camera_encoder.num_cams
+        h, w = cfg.camera_encoder.final_dim
+        spec["imgs"] = jax.ShapeDtypeStruct((batch_size, n, h, w, 3), jnp.float32)
+        m44 = jax.ShapeDtypeStruct((batch_size, n, 4, 4), jnp.float32)
+        spec["mats"] = dict(
+            sensor2ego_mats=m44, intrin_mats=m44, ida_mats=m44,
+            bda_mat=jax.ShapeDtypeStruct((batch_size, 4, 4), jnp.float32),
+        )
+    # gt_boxes unused at eval but part of the batch pytree contract
+    spec["gt_boxes"] = jax.ShapeDtypeStruct(
+        (batch_size, cfg.caps.max_gt_boxes, 10), jnp.float32
+    )
+    return spec
+
+
+def export_detector(
+    cfg: ModelConfig,
+    params,
+    batch_stats,
+    out_dir: str,
+    batch_size: int = 1,
+    platforms=None,
+):
+    """AOT-export the eval step (weights baked in) to `out_dir`.
+
+    `platforms`: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
+    defaults to the current backend."""
+    model = BEVFusionCenterHead(cfg)
+    frozen_p = jax.tree.map(jnp.asarray, params)
+    frozen_s = jax.tree.map(jnp.asarray, batch_stats)
+
+    def serve(batch):
+        class _S:  # eval_step reads .params/.batch_stats off the train state
+            params = frozen_p
+            batch_stats = frozen_s
+
+        return eval_step(_S, batch, model=model, cfg=cfg)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exp = jax_export.export(jax.jit(serve), **kwargs)(
+        _batch_spec(cfg, batch_size)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+    meta = dict(
+        with_lidar=cfg.with_lidar,
+        with_camera=cfg.with_camera,
+        batch_size=batch_size,
+        platforms=list(exp.platforms),
+        class_names=list(cfg.class_names),
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return exp
+
+
+class LoadedDetector:
+    """Deserialized serving artifact; `predict(batch)` returns the ROI dict
+    (boxes [B, R, 9], scores, labels (1-based), mask)."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+            self._exp = jax_export.deserialize(f.read())
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    def predict(self, batch) -> Dict[str, np.ndarray]:
+        out = self._exp.call(batch)
+        return jax.tree.map(np.asarray, out)
+
+
+def load_detector(path: str) -> LoadedDetector:
+    return LoadedDetector(path)
