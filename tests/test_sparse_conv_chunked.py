@@ -110,7 +110,8 @@ def test_subm_conv_matches_dense():
     bias = rng.randn(5).astype(np.float32)
 
     out = subm_conv_chunked(
-        st.feats, st.occ, jnp.asarray(w), jnp.asarray(bias), tb, "float32"
+        st.feats, st.occ, st.colkey, st.chunk, st.valid, jnp.asarray(w),
+        jnp.asarray(bias), tb, "float32"
     )
 
     dense = _dense_from_voxels(feats, coords, shape)
@@ -145,8 +146,8 @@ def test_down2_conv_matches_dense():
     bias = rng.randn(6).astype(np.float32)
 
     out, occ_out = down2_conv_chunked(
-        st.feats, st.occ, st.colkey, st.chunk, jnp.asarray(w),
-        jnp.asarray(bias), tb, sites, out_tb, shape, out_shape, "float32",
+        st.feats, st.occ, st.colkey, st.chunk, st.valid, jnp.asarray(w),
+        jnp.asarray(bias), sites, out_tb, shape, out_shape, "float32",
     )
 
     dense = _dense_from_voxels(feats, coords, shape)
@@ -190,7 +191,8 @@ def test_subm_vjp_matches_dense():
     R = jnp.where(st.occ[..., None], R, 0.0)
 
     def loss_chunked(f, wt, bi):
-        out = subm_conv_chunked(f, st.occ, wt, bi, tb, "float32")
+        out = subm_conv_chunked(f, st.occ, st.colkey, st.chunk, st.valid,
+                                wt, bi, tb, "float32")
         return jnp.sum(out * R)
 
     gf, gw, gb = jax.grad(loss_chunked, argnums=(0, 1, 2))(st.feats, w, bias)
@@ -235,8 +237,8 @@ def test_down2_vjp_matches_dense():
 
     def run_sites():
         return down2_conv_chunked(
-            st.feats, st.occ, st.colkey, st.chunk, w, bias, tb, sites, out_tb,
-            shape, out_shape, "float32",
+            st.feats, st.occ, st.colkey, st.chunk, st.valid, w, bias, sites,
+            out_tb, shape, out_shape, "float32",
         )
 
     _, occ_out = run_sites()
@@ -244,7 +246,7 @@ def test_down2_vjp_matches_dense():
 
     def loss_chunked(f, wt, bi):
         out, _ = down2_conv_chunked(
-            f, st.occ, st.colkey, st.chunk, wt, bi, tb, sites, out_tb,
+            f, st.occ, st.colkey, st.chunk, st.valid, wt, bi, sites, out_tb,
             shape, out_shape, "float32",
         )
         return jnp.sum(out * R)

@@ -83,6 +83,12 @@ class LidarEncoderConfig:
     # the sort-free column/zslot neighbor tables (TPU-only; voxels in
     # columns beyond the cap lose neighbor resolution)
     stage_col_caps: Tuple[int, ...] = (65536, 49152, 32768, 16384, 16384)
+    # Encoder implementation (TPU-only knob, identical math either way —
+    # cross-checked in tests/test_lidar_encoder_impls.py):
+    #   "chunked"  — z-chunked column-dense s0/s2 + masked dense conv3d from
+    #                s3 on (round-2 fast path, custom-VJP backward)
+    #   "pervoxel" — round-1 per-voxel gather-GEMM throughout
+    encoder_impl: str = "chunked"
 
 
 @dataclass(frozen=True)

@@ -3,37 +3,42 @@
 Replaces the per-voxel gather-GEMM (`ops/sparse_conv.py`) for the hot s0/s2
 stages of the LiDAR encoder (ref layers/blocks_3d/det3d/spconv_backbone.py:
 253-343 delegates these to spconv CUDA; this layout has no reference analog —
-it is a TPU design driven by the measured ~2 ns/row gather floor, PROFILE.md).
+it is a TPU design driven by measured v5e gather/scatter costs, PROFILE.md).
 
 Design
 ======
 A *slot* is an occupied (BEV column, z-chunk) cell, with z-chunks of CHUNK=4
 consecutive z levels. Features live as ``[B, S, 4, C]`` with zeros at absent
 z positions, plus an exact site-occupancy mask ``occ [B, S, 4]``. Slots are
-sorted by (column key = y·W+x, chunk) — the same xy-major order the
-voxelizer emits.
+sorted by (column key = y·W+x, chunk) — the xy-major order the voxelizer
+emits — so a column's chunks are adjacent array rows.
 
 A 3³ submanifold conv at voxel (z,y,x) needs inputs from 9 xy-neighbor
 columns at z−1..z+1. Here the z dimension is *in-register*: per xy offset
-the conv gathers ONE row per slot from a z-dilated window table whose rows
-cover z ∈ [4s−1, 4s+4] (6 positions), and the 3 z-taps become static slices
-feeding 27 batched matmuls on the MXU. Gather count: 9·S rows/conv instead
-of 27·V — row gathers cost ~2 ns each regardless of width ≤512B, so this is
-the dominant saving. Neighbor resolution is a *dense packed column map*
-(int32 = dilated-base ≪ NCH | chunk-bitmap) + popcount — no searchsorted /
-sort in the subm path at all.
+the conv gathers ONE *double-height halo row* per slot and the 3 z-taps
+become static slices feeding 27 batched matmuls on the MXU:
 
-Exactness: the window table is built over the *dilated* chunk set
-(bits | bits≪1 | bits≫1), so a chunk-s window always finds boundary voxels
-living in chunks s±1 even when chunk s itself is empty. Dilated capacity is
-statically 3·S — it can never overflow, so the op is exact for any voxel
-set that fit the voxel cap (oracle-tested against dense convolution in
-tests/test_sparse_conv_chunked.py).
+  * The gather table ``[S+1, 10·C]`` holds, per slot (c,s), z ∈
+    [4s−1, 4s+8]: [z3 of (c,s−1) | own 4 | 4 of (c,s+1) | z0 of (c,s+2)].
+    It is built with pure array SHIFTS + masks (column-adjacent slots are
+    array-adjacent) — no scatter (measured 56 ns/row for narrow scatters vs
+    ~2 ns/row gathers on v5e).
+  * Neighbor resolution is a dense packed column map (int32 =
+    first-slot-index ≪ NCH | chunk-bitmap) + popcount, with a 3-way
+    fallback: resolve chunk s, else s−1, else s+1. The 10-z row makes every
+    fallback exact: the (s−1) row still covers both window boundaries
+    [4s−1, 4s+4] (positions 4..9), and when s−1 is also empty the (s+1) row
+    covers the only remaining nonzero position (4s+4). Gather count:
+    9·S rows/conv instead of 27·V.
 
 Backward: custom VJPs express grad-of-gather as *reverse-offset gathers*
-(the subm neighbor relation is symmetric; the strided conv transposes to a
-9-offset parity-masked gather), never as scatter-adds (~65 ns/index on TPU,
-30× the gather cost — PROFILE.md).
+(the subm neighbor relation is symmetric under offset reversal; the strided
+conv transposes to a parity-masked gather), never as scatter-adds.
+
+Exactness: oracle-tested against dense convolution (values, occupancy and
+both VJPs) in tests/test_sparse_conv_chunked.py; the full encoder is
+cross-checked against the per-voxel implementation in
+tests/test_lidar_encoder_impls.py.
 """
 from __future__ import annotations
 
@@ -44,7 +49,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 4  # z levels per chunk; window rows cover CHUNK + 2 positions
+CHUNK = 4   # z levels per chunk
+ROWZ = 10   # z positions per gather row: [4s-1 .. 4s+8]
 
 
 def _nch(D: int) -> int:
@@ -67,29 +73,18 @@ class ChunkedSparseTensor(NamedTuple):
 
 
 class ChunkedTables(NamedTuple):
-    """Per-stage neighbor tables, shared by every conv on the voxel set.
+    """Per-stage neighbor tables, shared by every conv on the voxel set."""
 
-    Window-table row indices address a [Sd+2, ·] buffer: rows [0, Sd) are
-    dilated slots, row Sd is the all-zero "absent" row, and Sd+1 is unused
-    (scatter sentinels point out of bounds and are dropped)."""
-
-    nbr_dil: jnp.ndarray   # [B, 9, S] int32 dilated-row idx per xy offset
-    dil_self: jnp.ndarray  # [B, S] int32 dilated idx of each slot
-    dil_lo: jnp.ndarray    # [B, S] int32 dilated idx of (col, chunk-1)
-    dil_hi: jnp.ndarray    # [B, S] int32 dilated idx of (col, chunk+1)
-    colmap: jnp.ndarray    # [B·(H·W+1)] int32 packed (dilbase<<NCH)|dilbits; -1 empty
-
-    @property
-    def sd(self):
-        """Dilated capacity — statically 3·S (cannot overflow)."""
-        return 3 * self.dil_self.shape[1]
+    nbr_idx: jnp.ndarray   # [B, 9, S] int32 slot idx per xy offset; S = miss
+    nbr_case: jnp.ndarray  # [B, 9, S] int32 0: row s, 1: row s-1, 2: row s+1
+    colmap: jnp.ndarray    # [B·(H·W+1)] int32 (first_slot << NCH) | bits; -1
 
 
 def _column_arrays(colkey, chunk, valid, hw: int):
     """Segment the sorted slot array into columns.
 
-    Returns (colstart [B,S], col_of [B,S] (S on invalid), ckey_c [B,S]
-    (hw sentinel), bits_c [B,S] chunk bitmaps, col_valid [B,S])."""
+    Returns (col_of [B,S] (S on invalid), ckey_c [B,S] (hw sentinel),
+    bits_c [B,S] chunk bitmaps, base_c [B,S] first slot idx, col_valid)."""
     B, S = colkey.shape
     boff = jnp.arange(B, dtype=jnp.int32)[:, None]
     prev = jnp.concatenate([jnp.full((B, 1), -1, colkey.dtype), colkey[:, :-1]], 1)
@@ -107,8 +102,13 @@ def _column_arrays(colkey, chunk, valid, hw: int):
     ckey_c = ckey_c.at[cdest].set(
         colkey.reshape(-1), mode="drop", unique_indices=True
     ).reshape(B, S + 1)[:, :S]
+    sidx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    base_c = jnp.zeros((B * (S + 1),), jnp.int32)
+    base_c = base_c.at[cdest].set(
+        sidx.reshape(-1), mode="drop", unique_indices=True
+    ).reshape(B, S + 1)[:, :S]
     col_valid = ckey_c < hw
-    return colstart, col_of, ckey_c, bits_c, col_valid
+    return col_of, ckey_c, bits_c, base_c, col_valid
 
 
 def chunked_from_voxels(
@@ -165,33 +165,26 @@ def chunked_from_voxels(
     return ChunkedSparseTensor(cf, occ & valid[..., None], colkey, chunk, valid)
 
 
-def _decode_pack(pack, chunk, nch: int, sd: int):
-    """Packed colmap value + chunk → dilated row idx (sd = zero row when absent)."""
-    dbits = pack & ((1 << nch) - 1)
+def _resolve(pack, s, nch: int, S: int, nchm: jnp.ndarray | None = None):
+    """Packed colmap value + target chunk s → (slot idx [S=miss], case).
+
+    case 0: chunk s exists; 1: fall back to s−1; 2: fall back to s+1."""
+    bits = pack & ((1 << nch) - 1)
     base = pack >> nch
-    hit = (pack >= 0) & (((dbits >> chunk) & 1) == 1)
-    below = dbits & ((1 << chunk) - 1)
-    return jnp.where(hit, base + jax.lax.population_count(below), sd)
+    ok = pack >= 0
 
+    def at(q):
+        qc = jnp.clip(q, 0, nch - 1)
+        hit = ok & (q >= 0) & (q < nch) & (((bits >> qc) & 1) == 1)
+        idx = base + jax.lax.population_count(bits & ((1 << qc) - 1))
+        return hit, idx
 
-def _offset_packs_yx(yc, xc, col_valid, colmap, H: int, W: int):
-    B, S = yc.shape
-    boff = jnp.arange(B, dtype=jnp.int32)[:, None]
-    packs = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            ny, nx_ = yc + dy, xc + dx
-            inb = col_valid & (ny >= 0) & (ny < H) & (nx_ >= 0) & (nx_ < W)
-            q = jnp.where(inb, ny * W + nx_, H * W)
-            packs.append(
-                colmap[(q + boff * (H * W + 1)).reshape(-1)].reshape(B, S)
-            )
-    packs = jnp.stack(packs, -1)  # [B, S, 9]
-    packs = jnp.where(col_valid[..., None], packs, -1)
-    packs = jnp.pad(packs, ((0, 0), (0, 0), (0, 7)), constant_values=-1)
-    return jnp.concatenate(
-        [packs, jnp.full((B, 1, 16), -1, jnp.int32)], axis=1
-    )  # [B, S+1, 16]
+    h0, i0 = at(s)
+    h1, i1 = at(s - 1)
+    h2, i2 = at(s + 1)
+    case = jnp.where(h0, 0, jnp.where(h1, 1, 2))
+    idx = jnp.where(h0, i0, jnp.where(h1, i1, jnp.where(h2, i2, S)))
+    return idx, case
 
 
 def build_chunked_tables(
@@ -201,19 +194,12 @@ def build_chunked_tables(
     D, H, W = spatial_shape
     nch = _nch(D)
     B, S = colkey.shape
-    sd = 3 * S
     boff = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    colstart, col_of, ckey_c, bits_c, col_valid = _column_arrays(
+    col_of, ckey_c, bits_c, base_c, col_valid = _column_arrays(
         colkey, chunk, valid, H * W
     )
-    mask_all = (1 << nch) - 1
-    dilbits = (bits_c | (bits_c << 1) | (bits_c >> 1)) & mask_all
-    dilbits = jnp.where(col_valid, dilbits, 0)
-    ndil = jax.lax.population_count(dilbits)
-    dilbase = jnp.cumsum(ndil, axis=1) - ndil  # exclusive, per sample
-
-    packed = (dilbase << nch) | dilbits
+    packed = (base_c << nch) | bits_c
     OOB = B * (H * W + 1) + 7
     cdest = jnp.where(col_valid, ckey_c + boff * (H * W + 1), OOB).reshape(-1)
     cmap = jnp.full((B * (H * W + 1),), -1, jnp.int32)
@@ -221,59 +207,105 @@ def build_chunked_tables(
         packed.reshape(-1), mode="drop", unique_indices=True
     )
 
+    # per-column packed values for the 9 xy offsets, padded to 16 for the
+    # per-slot wide-row gather
     yc, xc = ckey_c // W, ckey_c % W
-    packs = _offset_packs_yx(yc, xc, col_valid, cmap, H, W)  # [B, S+1, 16]
+    packs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny, nx_ = yc + dy, xc + dx
+            inb = col_valid & (ny >= 0) & (ny < H) & (nx_ >= 0) & (nx_ < W)
+            q = jnp.where(inb, ny * W + nx_, H * W)
+            packs.append(
+                cmap[(q + boff * (H * W + 1)).reshape(-1)].reshape(B, S)
+            )
+    packs = jnp.stack(packs, -1)
+    packs = jnp.where(col_valid[..., None], packs, -1)
+    packs = jnp.pad(packs, ((0, 0), (0, 0), (0, 7)), constant_values=-1)
+    packs = jnp.concatenate(
+        [packs, jnp.full((B, 1, 16), -1, jnp.int32)], axis=1
+    )  # row S = invalid column
     slot_packs = jnp.stack(
         [packs[b][jnp.minimum(col_of[b], S)] for b in range(B)]
     )  # [B, S, 16]
 
-    nbr = [
-        _decode_pack(slot_packs[..., o], chunk, nch, sd) for o in range(9)
-    ]
-    nbr_dil = jnp.stack(nbr, axis=1)
-    nbr_dil = jnp.where(valid[:, None, :], nbr_dil, sd)
-
-    own = slot_packs[..., 4]
-    dil_self = jnp.where(valid, _decode_pack(own, chunk, nch, sd), sd + 2)
-    lo_ok = valid & (chunk > 0)
-    dil_lo = jnp.where(
-        lo_ok, _decode_pack(own, jnp.maximum(chunk - 1, 0), nch, sd), sd + 2
+    idxs, cases = [], []
+    for o in range(9):
+        idx, case = _resolve(slot_packs[..., o], chunk, nch, S)
+        idxs.append(jnp.where(valid, idx, S))
+        cases.append(case)
+    return ChunkedTables(
+        jnp.stack(idxs, axis=1), jnp.stack(cases, axis=1), cmap
     )
-    hi_ok = valid & (chunk < nch - 1)
-    dil_hi = jnp.where(
-        hi_ok, _decode_pack(own, jnp.minimum(chunk + 1, nch - 1), nch, sd),
-        sd + 2,
-    )
-    return ChunkedTables(nbr_dil, dil_self, dil_lo, dil_hi, cmap)
 
 
-def _build_window_tables(feats, occ, tables: ChunkedTables, with_occ: bool):
-    """[B, S, 4, C](+occ) → per-sample window tables, list of [Sd+2, 6·cw] f32.
+def _window_table(feats, occ, colkey, chunk, valid, with_occ: bool, dt):
+    """→ [B, S+1, 10·cw] double-height halo rows, built by pure shifts.
 
-    Row p of dilated slot (c, s) holds z = 4s−1+p. Three sorted+unique
-    scatters: own 4 z's at positions 1-4, own z3 into (c,s+1) pos 0, own z0
-    into (c,s−1) pos 5. Row Sd stays zero (the "absent" gather target)."""
+    Row o (slot (c, s)) covers z = 4s−1+q, q ∈ 0..9:
+    [z3 of (c,s−1) | own z0..z3 | z0..z3 of (c,s+1) | z0 of (c,s+2)].
+    Column-adjacent chunks are array-adjacent, so every piece is a shift of
+    the slot array with a same-column & chunk-delta mask. Row S is zero."""
     B, S, _, C = feats.shape
-    sd = tables.sd
     cw = C + 1 if with_occ else C
-    src = feats.astype(jnp.float32)
+    src = feats.astype(dt)
     if with_occ:
-        src = jnp.concatenate([src, occ.astype(jnp.float32)[..., None]], -1)
-    tabs = []
-    for b in range(B):
-        t = jnp.zeros((sd + 2, 6 * cw), jnp.float32)
-        t = t.at[tables.dil_self[b], cw:5 * cw].set(
-            src[b].reshape(S, 4 * cw), mode="drop",
-            indices_are_sorted=True, unique_indices=True,
-        )
-        t = t.at[tables.dil_hi[b], 0:cw].set(
-            src[b, :, 3], mode="drop", unique_indices=True
-        )
-        t = t.at[tables.dil_lo[b], 5 * cw:6 * cw].set(
-            src[b, :, 0], mode="drop", unique_indices=True
-        )
-        tabs.append(t)
-    return tabs, cw
+        src = jnp.concatenate([src, occ.astype(dt)[..., None]], -1)
+    src = jnp.where(occ[..., None], src, 0.0)  # padding rows are zero
+
+    def shift(x, k):
+        """x [B, S, ...] shifted so out[o] = x[o+k] (zeros rolled in)."""
+        pad = jnp.zeros_like(x[:, :1])
+        if k == 1:
+            return jnp.concatenate([x[:, 1:], pad], axis=1)
+        if k == 2:
+            return jnp.concatenate([x[:, 2:], pad, pad], axis=1)
+        if k == -1:
+            return jnp.concatenate([pad, x[:, :-1]], axis=1)
+        raise ValueError(k)
+
+    def delta_mask(k):
+        ck_k = shift(colkey, k) if k > 0 else shift(colkey, -1)
+        ch_k = shift(chunk, k) if k > 0 else shift(chunk, -1)
+        if k > 0:
+            return (ck_k == colkey) & (ch_k == chunk + k)
+        return (ck_k == colkey) & (ch_k == chunk - 1)
+
+    m_prev = delta_mask(-1)
+    m_next1 = delta_mask(1)
+    m_next2 = delta_mask(2)
+    # z0 of (c, s+2): at o+1 when (c,s+1) is absent, else at o+2
+    n1 = shift(src, 1)
+    n2 = shift(src, 2)
+    m1_is_s2 = (shift(colkey, 1) == colkey) & (shift(chunk, 1) == chunk + 2)
+
+    halo_lo = jnp.where(m_prev[..., None], shift(src, -1)[:, :, 3], 0.0)
+    blk_next = jnp.where(m_next1[..., None, None], n1, 0.0)
+    z_s2 = jnp.where(
+        m1_is_s2[..., None], n1[:, :, 0],
+        jnp.where(m_next2[..., None], n2[:, :, 0], 0.0),
+    )
+    rows = jnp.concatenate(
+        [halo_lo[:, :, None], src, blk_next, z_s2[:, :, None]], axis=2
+    )  # [B, S, 10, cw]
+    rows = jnp.where(valid[..., None, None], rows, 0.0)
+    rows = rows.reshape(B, S, ROWZ * cw)
+    return jnp.concatenate(
+        [rows, jnp.zeros((B, 1, ROWZ * cw), rows.dtype)], axis=1
+    )
+
+
+def _extract_subm_window(g, case, C):
+    """Gathered rows [S, 10, C] + per-row case → window [S, 6, C] covering
+    z = 4s−1+p, p ∈ 0..5. case0: q=p; case1 (row s−1): q=p+4;
+    case2 (row s+1): q=p−4 (p<4 → 0, those z's are provably empty)."""
+    w0 = g[:, 0:6]
+    w1 = g[:, 4:10]
+    w2 = jnp.concatenate(
+        [jnp.zeros_like(g[:, 0:4]), g[:, 0:2]], axis=1
+    )
+    c = case[:, None, None]
+    return jnp.where(c == 0, w0, jnp.where(c == 1, w1, w2))
 
 
 def _w_zyx(weight: jnp.ndarray):
@@ -287,22 +319,28 @@ def _w_zyx(weight: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def _subm_impl(feats, occ, weight, bias, tables: ChunkedTables, dtype_str):
-    """feats [B,S,4,Cin] → occ-masked [B,S,4,Cout]."""
+def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
+               tables: ChunkedTables, dtype_str, reverse: bool = False):
+    """feats [B,S,4,Cin] → occ-masked [B,S,4,Cout].
+
+    reverse=True runs the offset-reversed conv (used by the VJP): xy offsets
+    flip via o ↔ 8−o through the same tables, z taps via dz ↔ 2−dz."""
     B, S, _, C = feats.shape
     dt = jnp.dtype(dtype_str)
     w = _w_zyx(weight).astype(dt)
-    tabs, _ = _build_window_tables(feats, occ, tables, with_occ=False)
+    tab = _window_table(feats, occ, colkey, chunk, valid, False, dt)
     outs = []
     for b in range(B):
         acc = None
         for o in range(9):
+            oo = 8 - o if reverse else o
             dy, dx = o // 3, o % 3
-            g = tabs[b][tables.nbr_dil[b, o]].reshape(S, 6, C).astype(dt)
+            g = tab[b][tables.nbr_idx[b, oo]].reshape(S, ROWZ, C)
+            win = _extract_subm_window(g, tables.nbr_case[b, oo], C)
             for dz in range(3):
-                # out z-pos zi reads window position zi + dz
+                dzz = 2 - dz if reverse else dz
                 term = jnp.einsum(
-                    "szc,co->szo", g[:, dz:dz + 4, :], w[dz, dy, dx],
+                    "szc,co->szo", win[:, dzz:dzz + 4, :], w[dz, dy, dx],
                     preferred_element_type=dt,
                 )
                 acc = term if acc is None else acc + term
@@ -313,39 +351,45 @@ def _subm_impl(feats, occ, weight, bias, tables: ChunkedTables, dtype_str):
     return jnp.where(occ[..., None], out, 0.0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def subm_conv_chunked(feats, occ, weight, bias, tables, dtype_str: str):
-    """Submanifold 3³ conv in the chunked layout (matches spconv.SubMConv3d
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def subm_conv_chunked(feats, occ, colkey, chunk, valid, weight, bias, tables,
+                      dtype_str: str):
+    """Submanifold 3³ conv in the chunked layout (spconv.SubMConv3d
     semantics: outputs on the same active set; absent neighbors read 0)."""
-    return _subm_impl(feats, occ, weight, bias, tables, dtype_str)
+    return _subm_impl(feats, occ, colkey, chunk, valid, weight, bias, tables,
+                      dtype_str)
 
 
-def _subm_fwd(feats, occ, weight, bias, tables, dtype_str):
-    out = _subm_impl(feats, occ, weight, bias, tables, dtype_str)
-    return out, (feats, occ, weight, bias is not None, tables)
+def _subm_fwd(feats, occ, colkey, chunk, valid, weight, bias, tables,
+              dtype_str):
+    out = _subm_impl(feats, occ, colkey, chunk, valid, weight, bias, tables,
+                     dtype_str)
+    return out, (feats, occ, colkey, chunk, valid, weight, bias is not None,
+                 tables)
 
 
 def _subm_bwd(dtype_str, res, g):
-    feats, occ, weight, has_bias, tables = res
+    feats, occ, colkey, chunk, valid, weight, has_bias, tables = res
     B, S, _, C = feats.shape
     co = weight.shape[-1]
     g = jnp.where(occ[..., None], g, 0.0).astype(jnp.float32)
 
-    # d feats: subm conv of g with reversed offsets and W^T:
-    #   out[v] = Σ_k W[k] f[v + k - 1]  ⇒  df[u] = Σ_k W[k]^T g[u - k + 1]
-    wrev = jnp.flip(_w_zyx(weight), axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    # d feats: offset-reversed conv of g with W^T:
+    #   out[v] = Σ_k W[k] f[v + k − 1]  ⇒  df[u] = Σ_k W[k]^T g[u − k + 1]
+    wT = jnp.swapaxes(_w_zyx(weight), 3, 4).reshape(27, co, C)
     dfeats = _subm_impl(
-        g, occ, wrev.reshape(27, co, C).astype(jnp.float32), None, tables,
-        "float32",
+        g, occ, colkey, chunk, valid, wT.astype(jnp.float32), None, tables,
+        "float32", reverse=True,
     ).astype(feats.dtype)
 
     # d weight / d bias: regather input windows, contract with g
-    tabs, _ = _build_window_tables(feats, occ, tables, with_occ=False)
+    tab = _window_table(feats, occ, colkey, chunk, valid, False, jnp.float32)
     dw = jnp.zeros((3, 3, 3, C, co), jnp.float32)
     for b in range(B):
         for o in range(9):
             dy, dx = o // 3, o % 3
-            win = tabs[b][tables.nbr_dil[b, o]].reshape(S, 6, C)
+            gr = tab[b][tables.nbr_idx[b, o]].reshape(S, ROWZ, C)
+            win = _extract_subm_window(gr, tables.nbr_case[b, o], C)
             for dz in range(3):
                 dw = dw.at[dz, dy, dx].add(
                     jnp.einsum("szc,szo->co", win[:, dz:dz + 4, :], g[b],
@@ -353,7 +397,8 @@ def _subm_bwd(dtype_str, res, g):
                 )
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
     dbias = jnp.sum(g, axis=(0, 1, 2)).astype(weight.dtype) if has_bias else None
-    return (dfeats, _f0(occ), dweight, dbias, jax.tree.map(_f0, tables))
+    return (dfeats, _f0(occ), _f0(colkey), _f0(chunk), _f0(valid), dweight,
+            dbias, jax.tree.map(_f0, tables))
 
 
 subm_conv_chunked.defvjp(_subm_fwd, _subm_bwd)
@@ -370,8 +415,19 @@ class DownSites(NamedTuple):
     colkey: jnp.ndarray  # [B, S2] int32 out column key; H2·W2 sentinel
     chunk: jnp.ndarray   # [B, S2] int32 out chunk
     valid: jnp.ndarray   # [B, S2] bool
-    nbr_a: jnp.ndarray   # [B, 9, S2] dilated IN row idx at in-chunk 2s
-    nbr_b: jnp.ndarray   # [B, 9, S2] dilated IN row idx at in-chunk 2s+1
+    nbr_a: jnp.ndarray   # [B, 9, S2] IN slot idx covering chunk 2s (3-way)
+    case_a: jnp.ndarray  # [B, 9, S2] case of nbr_a
+    nbr_b: jnp.ndarray   # [B, 9, S2] IN slot idx at chunk 2s+1 (exact only)
+
+
+def _resolve_exact(pack, s, nch: int, S: int):
+    """Packed colmap value + chunk s → slot idx, no fallback (S = miss)."""
+    bits = pack & ((1 << nch) - 1)
+    base = pack >> nch
+    sc = jnp.clip(s, 0, nch - 1)
+    hit = (pack >= 0) & (s >= 0) & (s < nch) & (((bits >> sc) & 1) == 1)
+    idx = base + jax.lax.population_count(bits & ((1 << sc) - 1))
+    return jnp.where(hit, idx, S)
 
 
 def down2_sites(
@@ -388,7 +444,7 @@ def down2_sites(
     of input chunk bitmaps (in chunk s → out z ∈ [2s, 2s+2]). Dedup of the
     ≤4 column candidates per input column via one banded sort. The emitted
     slot set is a (column-level) superset of the true out sites; exact
-    per-site occupancy is computed by the conv itself (zero slots are
+    per-site occupancy is computed by the conv itself (all-zero slots are
     harmless and masked)."""
     D, H, W = spatial_shape
     D2, H2, W2 = out_spatial_shape
@@ -397,7 +453,8 @@ def down2_sites(
     S2 = out_slot_cap
     boff = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    _, _, ckey_c, bits_c, col_valid = _column_arrays(colkey, chunk, valid, H * W)
+    _, ckey_c, bits_c, _, col_valid = _column_arrays(colkey, chunk, valid,
+                                                     H * W)
 
     # out chunk bitmap per input column
     obits = jnp.zeros_like(bits_c)
@@ -428,7 +485,7 @@ def down2_sites(
     ck4 = jnp.concatenate(cand_keys, axis=1)  # [B, 4S]
     cb4 = jnp.concatenate(cand_bits, axis=1)
 
-    # one banded sort; then per-run OR of bitmaps; compact runs per sample
+    # one banded sort; per-run OR of bitmaps; compact runs per sample
     band = (ck4 + boff * (SENT + 1)).reshape(-1)
     order = jnp.argsort(band)
     sk = band[order]
@@ -497,9 +554,9 @@ def down2_sites(
     out_colkey = jnp.where(out_valid, out_colkey, SENT)
     out_chunk = jnp.where(out_valid, out_chunk, 0)
 
-    # per-out-slot gather tables into the INPUT window-table space
+    # per-out-slot gather tables into the INPUT slot space
     yo, xo = out_colkey // W2, out_colkey % W2
-    nbr_a, nbr_b = [], []
+    nbr_a, case_a, nbr_b = [], [], []
     for ky in range(3):
         for kx in range(3):
             yi = 2 * yo - 1 + ky
@@ -510,45 +567,55 @@ def down2_sites(
                 (q + boff * (H * W + 1)).reshape(-1)
             ].reshape(B, S2)
             pack = jnp.where(inb, pack, -1)
-            sd_in = in_tables.sd
-            ca = _decode_pack(
-                pack, jnp.minimum(2 * out_chunk, nch_in - 1), nch_in, sd_in
-            )
-            nbr_a.append(jnp.where(2 * out_chunk <= nch_in - 1, ca, sd_in))
-            cb = _decode_pack(
-                pack, jnp.minimum(2 * out_chunk + 1, nch_in - 1), nch_in, sd_in
-            )
-            nbr_b.append(
-                jnp.where(2 * out_chunk + 1 <= nch_in - 1, cb, sd_in)
-            )
+            ia, ca = _resolve(pack, 2 * out_chunk, nch_in, S)
+            nbr_a.append(ia)
+            case_a.append(ca)
+            nbr_b.append(_resolve_exact(pack, 2 * out_chunk + 1, nch_in, S))
     return DownSites(
         out_colkey, out_chunk, out_valid,
-        jnp.stack(nbr_a, axis=1), jnp.stack(nbr_b, axis=1),
+        jnp.stack(nbr_a, axis=1), jnp.stack(case_a, axis=1),
+        jnp.stack(nbr_b, axis=1),
     )
 
 
-def _down2_impl(feats, occ, weight, bias, in_tables, sites, dtype_str):
-    """→ (out [B,S2,4,Cout], occ_out [B,S2,4])."""
+def _down2_impl(feats, occ, colkey, chunk, valid, weight, bias, sites,
+                dtype_str):
+    """→ (out [B,S2,4,Cout], occ_out [B,S2,4]).
+
+    Window positions p ∈ 0..8 ↔ input z = 8s−1+p. Row A (3-way resolve at
+    chunk 2s) and row B (exact chunk 2s+1) assemble the window:
+    case0: A[p]; case1: A[p+4] for p≤5 and B[p−4] for p≥6; case2: A[p−4]
+    for p≥4 (lower positions are provably empty)."""
     B, S, _, C = feats.shape
     S2 = sites.colkey.shape[1]
     co = weight.shape[-1]
     dt = jnp.dtype(dtype_str)
     w = _w_zyx(weight).astype(dt)
-    tabs, cw = _build_window_tables(feats, occ, in_tables, with_occ=True)
+    tab = _window_table(feats, occ, colkey, chunk, valid, True, dt)
+    cw = C + 1
     outs, occs = [], []
     for b in range(B):
         acc = jnp.zeros((S2, 4, co), dt)
-        oacc = jnp.zeros((S2, 4), jnp.float32)
+        oacc = jnp.zeros((S2, 4), dt)
         for o in range(9):
             ky, kx = o // 3, o % 3
-            A = tabs[b][sites.nbr_a[b, o]].reshape(S2, 6, cw)
-            Bw = tabs[b][sites.nbr_b[b, o]].reshape(S2, 6, cw)
-            # out window positions p = z − (8s−1): A covers p 0..5, B p 4..9
-            w10 = jnp.concatenate([A, Bw[:, 2:6]], axis=1)  # [S2, 10, cw]
+            A = tab[b][sites.nbr_a[b, o]].reshape(S2, ROWZ, cw)
+            Br = tab[b][sites.nbr_b[b, o]].reshape(S2, ROWZ, cw)
+            ca = sites.case_a[b, o][:, None, None]
+            w9 = jnp.where(
+                ca == 0, A[:, 0:9],
+                jnp.where(
+                    ca == 1,
+                    jnp.concatenate([A[:, 4:10], Br[:, 2:5]], axis=1),
+                    jnp.concatenate(
+                        [jnp.zeros_like(A[:, 0:4]), A[:, 0:5]], axis=1
+                    ),
+                ),
+            )  # [S2, 9, cw]
             for kz in range(3):
-                sl = w10[:, kz:kz + 7:2, :]  # p = 2zi + kz, zi = 0..3
+                sl = w9[:, kz:kz + 7:2, :]  # p = 2zi + kz, zi = 0..3
                 acc = acc + jnp.einsum(
-                    "szc,co->szo", sl[..., :C].astype(dt), w[kz, ky, kx],
+                    "szc,co->szo", sl[..., :C], w[kz, ky, kx],
                     preferred_element_type=dt,
                 )
                 oacc = jnp.maximum(oacc, sl[..., C])
@@ -563,28 +630,27 @@ def _down2_impl(feats, occ, weight, bias, in_tables, sites, dtype_str):
 
 @partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def down2_conv_chunked(
-    feats, occ, in_colkey, in_chunk, weight, bias, in_tables, sites,
-    out_tables, spatial_shape, out_spatial_shape, dtype_str: str,
+    feats, occ, colkey, chunk, valid, weight, bias, sites, out_tables,
+    spatial_shape, out_spatial_shape, dtype_str: str,
 ):
     """Strided k3/s2/p1 sparse conv (spconv.SparseConv3d semantics: an out
     site is active iff ≥1 input site lies in its receptive field).
 
-    in_colkey/in_chunk: the input slot coordinates (used by the VJP).
     out_tables: the OUT stage's ChunkedTables (built from the DownSites
     skeleton; also reused by the following subm convs) — the VJP gathers
-    from the output-grad window table through them."""
-    out, occ_out = _down2_impl(feats, occ, weight, bias, in_tables, sites,
-                               dtype_str)
+    from the output-grad window table through its colmap."""
+    out, occ_out = _down2_impl(feats, occ, colkey, chunk, valid, weight,
+                               bias, sites, dtype_str)
     return out, occ_out
 
 
-def _down2_fwd(feats, occ, in_colkey, in_chunk, weight, bias, in_tables,
-               sites, out_tables, spatial_shape, out_spatial_shape, dtype_str):
-    out, occ_out = _down2_impl(feats, occ, weight, bias, in_tables, sites,
-                               dtype_str)
+def _down2_fwd(feats, occ, colkey, chunk, valid, weight, bias, sites,
+               out_tables, spatial_shape, out_spatial_shape, dtype_str):
+    out, occ_out = _down2_impl(feats, occ, colkey, chunk, valid, weight,
+                               bias, sites, dtype_str)
     return (out, occ_out), (
-        feats, occ, in_colkey, in_chunk, weight, bias is not None, in_tables,
-        sites, out_tables, occ_out,
+        feats, occ, colkey, chunk, valid, weight, bias is not None, sites,
+        out_tables, occ_out,
     )
 
 
@@ -593,14 +659,15 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
 
     Input voxel (y, x, z) feeds out voxel (yo, xo, zo) via tap (ky, kx, kz)
     iff y = 2yo−1+ky (etc.) — per tap, yo = (y+1−ky)/2 exists only when the
-    parity matches. For a whole input chunk s, the out z range [2s, 2s+2]
-    always fits ONE out window row (out chunk s//2), at a static position
-    offset selected by the parity of s (even: +1, odd: +3)."""
-    (feats, occ, in_colkey, in_chunk, weight, has_bias, in_tables, sites,
-     out_tables, occ_out) = res
+    parity matches. For input chunk s, the needed out z range [2s, 2s+2]
+    always fits ONE out window row (3-way resolved at out chunk s//2), at a
+    static position offset selected by the parity of s."""
+    (feats, occ, colkey, chunk, valid, weight, has_bias, sites, out_tables,
+     occ_out) = res
     g, _g_occ = gs
     D, H, W = spatial_shape
     D2, H2, W2 = out_spatial_shape
+    nch_out = _nch(D2)
     B, S, _, C = feats.shape
     S2 = occ_out.shape[1]
     co = weight.shape[-1]
@@ -608,15 +675,15 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
     w = _w_zyx(weight).astype(jnp.float32)
     boff = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    gtabs, _ = _build_window_tables(g, occ_out, out_tables, with_occ=False)
+    gtab = _window_table(g, occ_out, sites.colkey, sites.chunk, sites.valid,
+                         False, jnp.float32)
 
-    yc, xc = in_colkey // W, in_colkey % W  # per input slot
-    spar = (in_chunk % 2).astype(bool)
-    nch_out = _nch(D2)
-    sd_out = out_tables.sd
-    oc0 = jnp.clip(in_chunk // 2, 0, nch_out - 1)
-    # valid (zi, kz) pairs: kz ≡ zi+1 (mod 2); window pos = (zi+1-kz)//2 + 1|3
-    zk = [(zi, kz) for zi in range(4) for kz in range(3) if (zi + 1 - kz) % 2 == 0]
+    yc, xc = colkey // W, colkey % W  # per input slot
+    spar = chunk % 2
+    t = chunk // 2
+    # valid (zi, kz) pairs: kz ≡ zi+1 (mod 2); u = (zi+1−kz)//2 ∈ 0..2
+    zk = [(zi, kz) for zi in range(4) for kz in range(3)
+          if (zi + 1 - kz) % 2 == 0]
 
     dfs = []
     for b in range(B):
@@ -627,48 +694,61 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
                 ok = (
                     (ny % 2 == 0) & (nx_ % 2 == 0)
                     & (ny >= 0) & (ny < 2 * H2) & (nx_ >= 0) & (nx_ < 2 * W2)
-                    & (in_colkey[b] < H * W)
+                    & valid[b]
                 )
                 q = jnp.where(ok, (ny // 2) * W2 + (nx_ // 2), H2 * W2)
                 pack = out_tables.colmap[q + b * (H2 * W2 + 1)]
-                row = _decode_pack(pack, oc0[b], nch_out, sd_out)
-                grow = gtabs[b][row].reshape(S, 6, co)
+                row, case = _resolve(pack, t[b], nch_out, S2)
+                gr = gtab[b][row].reshape(S, ROWZ, co)
+                # window base: q0(u) = u + 1 (s even) | u + 3 (s odd), then
+                # case1: +4, case2: −4 (negatives are provably-zero reads)
                 for zi, kz in zk:
-                    pbase = (zi + 1 - kz) // 2
-                    sel = jnp.where(
-                        spar[b][:, None], grow[:, pbase + 3, :],
-                        grow[:, pbase + 1, :],
-                    )
-                    df = df.at[:, zi, :].add(
-                        sel @ w[kz, ky, kx].T
-                    )
+                    u = (zi + 1 - kz) // 2
+                    val = jnp.zeros((S, co), jnp.float32)
+                    for par in (0, 1):
+                        q0 = u + 1 + 2 * par
+                        for cs, dq in ((0, 0), (1, 4), (2, -4)):
+                            qq = q0 + dq
+                            if qq < 0 or qq >= ROWZ:
+                                continue
+                            m = (spar[b] == par) & (case == cs) & (row < S2)
+                            val = val + jnp.where(
+                                m[:, None], gr[:, qq, :], 0.0
+                            )
+                    df = df.at[:, zi, :].add(val @ w[kz, ky, kx].T)
         dfs.append(df)
-    dfeats = jnp.where(
-        occ[..., None], jnp.stack(dfs), 0.0
-    ).astype(feats.dtype)
+    dfeats = jnp.where(occ[..., None], jnp.stack(dfs), 0.0).astype(feats.dtype)
 
     # d weight / d bias: regather forward windows, contract with g
-    tabs, cw = _build_window_tables(feats, occ, in_tables, with_occ=True)
+    tab = _window_table(feats, occ, colkey, chunk, valid, True, jnp.float32)
+    cw = C + 1
     dw = jnp.zeros((3, 3, 3, C, co), jnp.float32)
     for b in range(B):
         for o in range(9):
             ky, kx = o // 3, o % 3
-            A = tabs[b][sites.nbr_a[b, o]].reshape(S2, 6, cw)
-            Bw = tabs[b][sites.nbr_b[b, o]].reshape(S2, 6, cw)
-            w10 = jnp.concatenate([A, Bw[:, 2:6]], axis=1)
+            A = tab[b][sites.nbr_a[b, o]].reshape(S2, ROWZ, cw)
+            Br = tab[b][sites.nbr_b[b, o]].reshape(S2, ROWZ, cw)
+            ca = sites.case_a[b, o][:, None, None]
+            w9 = jnp.where(
+                ca == 0, A[:, 0:9],
+                jnp.where(
+                    ca == 1,
+                    jnp.concatenate([A[:, 4:10], Br[:, 2:5]], axis=1),
+                    jnp.concatenate(
+                        [jnp.zeros_like(A[:, 0:4]), A[:, 0:5]], axis=1
+                    ),
+                ),
+            )
             for kz in range(3):
-                sl = w10[:, kz:kz + 7:2, :C]
+                sl = w9[:, kz:kz + 7:2, :C]
                 dw = dw.at[kz, ky, kx].add(
                     jnp.einsum("szc,szo->co", sl, g[b],
                                preferred_element_type=jnp.float32)
                 )
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
     dbias = jnp.sum(g, axis=(0, 1, 2)).astype(weight.dtype) if has_bias else None
-    return (
-        dfeats, _f0(occ), _f0(in_colkey), _f0(in_chunk), dweight, dbias,
-        jax.tree.map(_f0, in_tables), jax.tree.map(_f0, sites),
-        jax.tree.map(_f0, out_tables),
-    )
+    return (dfeats, _f0(occ), _f0(colkey), _f0(chunk), _f0(valid), dweight,
+            dbias, jax.tree.map(_f0, sites), jax.tree.map(_f0, out_tables))
 
 
 down2_conv_chunked.defvjp(_down2_fwd, _down2_bwd)
@@ -701,3 +781,4 @@ def chunked_to_dense(st: ChunkedSparseTensor, spatial_shape):
         B, H, W, nch * 4
     ).astype(bool)
     return dense, occ
+

@@ -75,9 +75,23 @@ def restore_checkpoint_any(path: str) -> Dict[str, Any]:
     """Restore the full saved tree with inferred structure — lets teacher
     loads / eval restores read a checkpoint regardless of whether it was
     saved with opt_state (a template-based restore requires an exact tree
-    match)."""
+    match).
+
+    Accepts either a step dir (`.../ckpt/step_12`) or its parent
+    (`.../ckpt`), resolving the parent to its highest step — so
+    `--ckpt_path` works on exactly the path the train CLI printed/saved
+    (ref base_cli.py:54-56 passes ckpt_path straight through)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(os.path.join(path, "_METADATA")):
+        steps = sorted(
+            (int(d.split("_")[1]), d)
+            for d in os.listdir(path)
+            if d.startswith("step_") and d.split("_")[1].isdigit()
+        )
+        if steps:
+            path = os.path.join(path, steps[-1][1])
     with ocp.StandardCheckpointer() as ck:
-        return ck.restore(os.path.abspath(path))
+        return ck.restore(path)
 
 
 def shape_filtered_merge(target_params, loaded_params) -> Tuple[Any, int, int]:
