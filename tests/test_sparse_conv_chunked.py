@@ -83,8 +83,12 @@ def test_roundtrip_to_dense():
     shape = (9, 10, 12)  # D not a multiple of 4 on purpose
     feats, coords = _random_voxels(rng, shape, 50, 4, cap=64)
     st = chunked_from_voxels(feats, coords, shape)
-    dense, occ = chunked_to_dense(st, shape)
+    dense, occ = chunked_to_dense(st, shape)  # chunk-folded [B,H,W,nch,4C]
     ref = _dense_from_voxels(feats, coords, shape)  # [B, D, H, W, C]
+    B_, H_, W_, nch_, _ = dense.shape
+    C_ = ref.shape[-1]
+    dense = dense.reshape(B_, H_, W_, nch_ * 4, C_)
+    occ = occ.reshape(B_, H_, W_, nch_ * 4)
     got = np.asarray(dense)  # [B, H, W, nch*4, C]
     D = shape[0]
     np.testing.assert_allclose(

@@ -328,6 +328,53 @@ class SparseBasicBlockDense(nn.Module):
         return jnp.where(occ[..., None], f, 0.0)
 
 
+class _Down3ChunkFold(nn.Module):
+    """s2→s3 strided conv reading the chunk-folded dense s2 tensor
+    [B, H, W, NCH, 4·C] directly: one 2D conv per output z plane, with the
+    3D kernel's z taps embedded in a channel matrix over the ≤2 input
+    chunks covering that plane's z window. Exact (unused z positions get
+    zero weights); param matches `_SparseDownConv` ([27, Cin, Cout])."""
+
+    cin: int
+    cout: int
+    d_in: int   # true input z extent (pre chunk-padding)
+    d_out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, NCH, 4*cin]
+        B, H, W, NCH, _ = x.shape
+        w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
+        w3 = w.reshape(3, 3, 3, self.cin, self.cout)  # (kz, ky, kx, ci, co)
+        planes = []
+        for zo in range(self.d_out):
+            zs = [2 * zo - 1 + kz for kz in range(3)]
+            zs_v = [z for z in zs if 0 <= z < self.d_in]
+            if not zs_v:  # plane entirely above the true z extent
+                planes.append(
+                    jnp.zeros((B, H // 2, W // 2, self.cout), self.dtype)
+                )
+                continue
+            c_lo, c_hi = zs_v[0] // 4, zs_v[-1] // 4
+            nchw = c_hi - c_lo + 1
+            wz = jnp.zeros((3, 3, nchw * 4 * self.cin, self.cout), w.dtype)
+            for kz, z in enumerate(zs):
+                if not (0 <= z < self.d_in):
+                    continue
+                pos = ((z // 4) - c_lo) * 4 * self.cin + (z % 4) * self.cin
+                wz = wz.at[:, :, pos:pos + self.cin, :].set(w3[kz])
+            xin = x[:, :, :, c_lo:c_hi + 1].reshape(B, H, W, nchw * 4 * self.cin)
+            planes.append(
+                jax.lax.conv_general_dilated(
+                    xin.astype(self.dtype), wz.astype(self.dtype),
+                    window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+        return jnp.stack(planes, axis=1)  # [B, d_out, H/2, W/2, cout]
+
+
 class _Down2Chunked(nn.Module):
     """Strided k3/s2/p1 sparse conv on chunked slots; params match
     `_SparseDownConv` ([27, Cin, Cout] kernel, no bias — BN follows)."""
@@ -401,11 +448,14 @@ class VoxelResBackBone8x(nn.Module):
 
         st2 = ChunkedSparseTensor(f2, occ2, sites2.colkey, sites2.chunk,
                                   sites2.valid)
-        dense2, occd2 = chunked_to_dense(st2, s2)  # [B, H2, W2, nch2·4, 32]
-        # z-outer layout for the dense stages: z slices are then adjacent to
-        # batch, so the per-z-tap conv2d decomposition needs no transposes
-        dense2 = jnp.transpose(dense2, (0, 3, 1, 2, 4))
-        occd2 = jnp.transpose(occd2, (0, 3, 1, 2))
+        # chunk-folded dense [B, H2, W2, nch2, 4·32] — minor dim 128 (a
+        # [.., nch·4, 32] layout would be lane-padded 4× = 11.9 GB)
+        dense2, occd2 = chunked_to_dense(st2, s2)
+        B_, H2, W2, nch2, _ = dense2.shape
+        # occupancy to z-outer [B, nch2·4, H2, W2] (small: bool)
+        occz2 = jnp.transpose(
+            occd2.reshape(B_, H2, W2, nch2 * 4), (0, 3, 1, 2)
+        )
 
         def bn_relu_d(x, occ, name):
             C = x.shape[-1]
@@ -414,9 +464,9 @@ class VoxelResBackBone8x(nn.Module):
             ).reshape(x.shape)
             return nn.relu(x)
 
-        d3 = _DenseConv3d(32, 64, (3, 3, 3), (2, 2, 2), (1, 1, 1), False, dt,
-                          name="down3")(dense2)
-        occ3 = _maxpool_occ(occd2, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+        d3 = _Down3ChunkFold(32, 64, d_in=s2[0], d_out=s3[0] + 1, dtype=dt,
+                             name="down3")(dense2)
+        occ3 = _maxpool_occ(occz2, (3, 3, 3), (2, 2, 2), (1, 1, 1))
         d3 = bn_relu_d(d3, occ3, "bn3")
         d3 = SparseBasicBlockDense(64, dt, name="res3a")(d3, occ3, train)
         d3 = SparseBasicBlockDense(64, dt, name="res3b")(d3, occ3, train)

@@ -755,7 +755,12 @@ down2_conv_chunked.defvjp(_down2_fwd, _down2_bwd)
 
 
 def chunked_to_dense(st: ChunkedSparseTensor, spatial_shape):
-    """→ dense [B, H, W, NCH·4, C] (z padded to a chunk multiple) + occ mask."""
+    """→ dense chunk-FOLDED [B, H, W, NCH, 4·C] + occ [B, H, W, NCH, 4].
+
+    The 4·C channel fold (z-position-major, channel = zp·C + c) keeps the
+    minor dim ≥128 for C=32: a [.., NCH·4, C] layout would be lane-padded
+    4× by the (8,128) bf16 tile (an 11.9 GB tensor at the s2 shape — OOM,
+    PROFILE.md)."""
     D, H, W = spatial_shape
     nch = _nch(D)
     B, S, _, C = st.feats.shape
@@ -770,7 +775,7 @@ def chunked_to_dense(st: ChunkedSparseTensor, spatial_shape):
         st.feats.reshape(B * S, 4 * C), mode="drop", unique_indices=True
     )
     dense = flat.reshape(B, span + 1, 4 * C)[:, :span].reshape(
-        B, H, W, nch * 4, C
+        B, H, W, nch, 4 * C
     )
     oflat = jnp.zeros((B * (span + 1), 4), jnp.int8)
     oflat = oflat.at[dest].set(
@@ -778,7 +783,7 @@ def chunked_to_dense(st: ChunkedSparseTensor, spatial_shape):
         unique_indices=True,
     )
     occ = oflat.reshape(B, span + 1, 4)[:, :span].reshape(
-        B, H, W, nch * 4
+        B, H, W, nch, 4
     ).astype(bool)
     return dense, occ
 
