@@ -328,33 +328,36 @@ class SparseBasicBlockDense(nn.Module):
         return jnp.where(occ[..., None], f, 0.0)
 
 
-class _Down3ChunkFold(nn.Module):
-    """s2→s3 strided conv reading the chunk-folded dense s2 tensor
-    [B, H, W, NCH, 4·C] directly: one 2D conv per output z plane, with the
-    3D kernel's z taps embedded in a channel matrix over the ≤2 input
-    chunks covering that plane's z window. Exact (unused z positions get
-    zero weights); param matches `_SparseDownConv` ([27, Cin, Cout])."""
+class _FoldConv3d(nn.Module):
+    """3D conv reading a chunk-folded dense tensor [B, H, W, NCH, 4·Cin]:
+    one 2D conv per output z plane, the 3D kernel's z taps embedded in a
+    channel matrix over the ≤2 chunks covering that plane's z window.
+    Exact (z positions outside the window get zero weights); param matches
+    `_SparseDownConv` ([27, Cin, Cout])."""
 
     cin: int
     cout: int
+    stride: Tuple[int, int, int]   # (sz, sy, sx)
+    padding: Tuple[int, int, int]  # (pz, py, px)
     d_in: int   # true input z extent (pre chunk-padding)
     d_out: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        # x: [B, H, W, NCH, 4*cin]
         B, H, W, NCH, _ = x.shape
         w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
-        w3 = w.reshape(3, 3, 3, self.cin, self.cout)  # (kz, ky, kx, ci, co)
+        w3 = w.reshape(3, 3, 3, self.cin, self.cout)
+        sz, sy, sx = self.stride
+        pz, py, px = self.padding
+        Ho = (H + 2 * py - 3) // sy + 1
+        Wo = (W + 2 * px - 3) // sx + 1
         planes = []
         for zo in range(self.d_out):
-            zs = [2 * zo - 1 + kz for kz in range(3)]
+            zs = [sz * zo - pz + kz for kz in range(3)]
             zs_v = [z for z in zs if 0 <= z < self.d_in]
-            if not zs_v:  # plane entirely above the true z extent
-                planes.append(
-                    jnp.zeros((B, H // 2, W // 2, self.cout), self.dtype)
-                )
+            if not zs_v:
+                planes.append(jnp.zeros((B, Ho, Wo, self.cout), self.dtype))
                 continue
             c_lo, c_hi = zs_v[0] // 4, zs_v[-1] // 4
             nchw = c_hi - c_lo + 1
@@ -364,15 +367,17 @@ class _Down3ChunkFold(nn.Module):
                     continue
                 pos = ((z // 4) - c_lo) * 4 * self.cin + (z % 4) * self.cin
                 wz = wz.at[:, :, pos:pos + self.cin, :].set(w3[kz])
-            xin = x[:, :, :, c_lo:c_hi + 1].reshape(B, H, W, nchw * 4 * self.cin)
+            xin = x[:, :, :, c_lo:c_hi + 1].reshape(
+                B, H, W, nchw * 4 * self.cin
+            )
             planes.append(
                 jax.lax.conv_general_dilated(
                     xin.astype(self.dtype), wz.astype(self.dtype),
-                    window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    window_strides=(sy, sx), padding=[(py, py), (px, px)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
             )
-        return jnp.stack(planes, axis=1)  # [B, d_out, H/2, W/2, cout]
+        return jnp.stack(planes, axis=3)  # [B, Ho, Wo, d_out, cout]
 
 
 class _Down2Chunked(nn.Module):
@@ -446,16 +451,29 @@ class VoxelResBackBone8x(nn.Module):
         f2 = SparseBasicBlockChunked(32, dt, name="res2b")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, tb2, train)
 
-        st2 = ChunkedSparseTensor(f2, occ2, sites2.colkey, sites2.chunk,
-                                  sites2.valid)
-        # chunk-folded dense [B, H2, W2, nch2, 4·32] — minor dim 128 (a
-        # [.., nch·4, 32] layout would be lane-padded 4× = 11.9 GB)
-        dense2, occd2 = chunked_to_dense(st2, s2)
-        B_, H2, W2, nch2, _ = dense2.shape
-        # occupancy to z-outer [B, nch2·4, H2, W2] (small: bool)
-        occz2 = jnp.transpose(
-            occd2.reshape(B_, H2, W2, nch2 * 4), (0, 3, 1, 2)
+        # s3 stays chunked too: at the 65k slot cap, 9 row-gathers/slot
+        # beat dense conv2d decompositions ~3x (s3 occupancy is ~3-6%)
+        sites3 = down2_sites(sites2.colkey, sites2.chunk, sites2.valid, tb2,
+                             s2, s3, caps[1])
+        tb3 = build_chunked_tables(sites3.colkey, sites3.chunk, sites3.valid,
+                                   s3)
+        f3, occ3 = _Down2Chunked(32, 64, s2, s3, dt, name="down3")(
+            f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, sites3, tb3
         )
+        f3 = bn_relu_ch(f3, occ3, "bn3")
+        f3 = SparseBasicBlockChunked(64, dt, name="res3a")(
+            f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)
+        f3 = SparseBasicBlockChunked(64, dt, name="res3b")(
+            f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)
+
+        st3 = ChunkedSparseTensor(f3, occ3, sites3.colkey, sites3.chunk,
+                                  sites3.valid)
+        # chunk-folded dense [B, H3, W3, 3, 4·64] — minor dim 256, no padding
+        dense3, occd3 = chunked_to_dense(st3, s3)
+        B_, H3, W3, nch3, _ = dense3.shape
+        occz3 = jnp.transpose(
+            occd3.reshape(B_, H3, W3, nch3 * 4), (0, 3, 1, 2)
+        )  # [B, 12, H3, W3] z-outer (plane 11 is empty padding)
 
         def bn_relu_d(x, occ, name):
             C = x.shape[-1]
@@ -464,16 +482,10 @@ class VoxelResBackBone8x(nn.Module):
             ).reshape(x.shape)
             return nn.relu(x)
 
-        d3 = _Down3ChunkFold(32, 64, d_in=s2[0], d_out=s3[0] + 1, dtype=dt,
-                             name="down3")(dense2)
-        occ3 = _maxpool_occ(occz2, (3, 3, 3), (2, 2, 2), (1, 1, 1))
-        d3 = bn_relu_d(d3, occ3, "bn3")
-        d3 = SparseBasicBlockDense(64, dt, name="res3a")(d3, occ3, train)
-        d3 = SparseBasicBlockDense(64, dt, name="res3b")(d3, occ3, train)
-
-        d4 = _DenseConv3d(64, 128, (3, 3, 3), (2, 2, 2), (0, 1, 1), False, dt,
-                          name="down4")(d3)
-        occ4 = _maxpool_occ(occ3, (3, 3, 3), (2, 2, 2), (0, 1, 1))
+        d4 = _FoldConv3d(64, 128, (2, 2, 2), (0, 1, 1), s3[0], s4[0], dt,
+                         name="down4")(dense3)  # [B, H4, W4, 5, 128]
+        occ4 = _maxpool_occ(occz3, (3, 3, 3), (2, 2, 2), (0, 1, 1))
+        d4 = jnp.transpose(d4, (0, 3, 1, 2, 4))  # z-outer [B, 5, 180, 180, 128]
         d4 = bn_relu_d(d4, occ4, "bn4")
         d4 = SparseBasicBlockDense(128, dt, name="res4a")(d4, occ4, train)
         d4 = SparseBasicBlockDense(128, dt, name="res4b")(d4, occ4, train)
