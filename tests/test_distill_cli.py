@@ -97,7 +97,8 @@ def test_run_distill_cli_end_to_end(synth_root8, tmp_path, monkeypatch):
     monkeypatch.setattr(
         sys, "argv",
         ["distill_test", "-b", "1", "--max_epochs", "1",
-         "--num_workers", "0", "--teacher_ckpt", ckpt_step_dir],
+         "--num_workers", "0", "--teacher_ckpt", ckpt_step_dir,
+         "--exp_options", "train.eval_interval=1"],
     )
     trainer = run_distill_cli("lidar", "camera")
     try:
@@ -106,5 +107,7 @@ def test_run_distill_cli_end_to_end(synth_root8, tmp_path, monkeypatch):
         assert os.path.isdir(os.path.join(out, "ckpt"))
         lines = open(os.path.join(out, "metrics.jsonl")).read().splitlines()
         assert any('"loss"' in ln for ln in lines), lines
+        # per-epoch validation ran and logged a val entry (VERDICT r1 item 5)
+        assert any('"event": "val"' in ln for ln in lines), lines
     finally:
         trainer.close()

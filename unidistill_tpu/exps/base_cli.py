@@ -94,13 +94,21 @@ def run_cli(exp_cfg: cfgs.ExpConfig, exp_name: Optional[str] = None):
         else:
             preds = trainer.predict(state, dl)
             from unidistill_tpu.data.evaluate import generate_submission
-            generate_submission(
-                preds, ds.infos[: len(preds)],
-                os.path.join(trainer.output_dir, "nuscenes_submission"),
-            )
+            sub_dir = os.path.join(trainer.output_dir, "nuscenes_submission")
+            generate_submission(preds, ds.infos[: len(preds)], sub_dir)
+            # raw prediction dump alongside the json (ref
+            # nuscenes_multimodal.py:395-415 dump_inference_results)
+            import pickle
+            with open(os.path.join(sub_dir, "boxes.pkl"), "wb") as f:
+                pickle.dump(preds, f)
         return trainer
 
     ds, dl = loader("training", shuffle=True)
-    state = trainer.fit(dl, exp_cfg.train.max_epochs, resume_from=args.ckpt_path)
+    val_ds, val_dl = loader("validation", shuffle=False)
+    state = trainer.fit(
+        dl, exp_cfg.train.max_epochs, resume_from=args.ckpt_path,
+        val_loader=val_dl, val_dataset=val_ds,
+        eval_interval=exp_cfg.train.eval_interval,
+    )
     ckpt_lib.save_checkpoint(os.path.join(trainer.output_dir, "ckpt"), state)
     return trainer

@@ -94,9 +94,14 @@ def run_distill_cli(teacher: str, student: str):
         t_cfg, args.teacher_ckpt, sample_dev, args.seed
     )
     dcfg = exp_cfg.distill
+    val_ds = NuScenesDataset(exp_cfg.data, both_cfg, "validation", seed=args.seed)
+    val_dl = DataLoader(val_ds, global_batch, shuffle=False, drop_last=False,
+                        num_workers=args.num_workers, seed=args.seed)
     state = trainer.fit(
         dl, exp_cfg.train.max_epochs, resume_from=args.ckpt_path,
         teacher=(t_model, t_cfg, dcfg, t_params, t_stats),
+        val_loader=val_dl, val_dataset=val_ds,
+        eval_interval=exp_cfg.train.eval_interval,
     )
     ckpt_lib.save_checkpoint(os.path.join(trainer.output_dir, "ckpt"), state)
     return trainer
