@@ -56,14 +56,17 @@ def main():
           f"{BATCH/net:.2f} fps  [b={BATCH}]")
 
     if os.environ.get("BENCH_TRAIN", "1") == "1":
+        batch_t = jax.tree.map(
+            jnp.asarray, _synth_batch(cfg, BATCH, training=True)
+        )
         tstep = jax.jit(functools.partial(train_step, model=model, cfg=cfg, tx=tx))
         t0 = time.time()
-        s2, m = tstep(state, batch)
+        s2, m = tstep(state, batch_t)
         float(m["loss"])
         print(f"train compiled+ran in {time.time()-t0:.0f}s")
 
         def run():
-            s2, m = tstep(state, batch)
+            s2, m = tstep(state, batch_t)
             return float(m["loss"])
 
         raw = median_sync_time(run, reps=5)

@@ -1,0 +1,146 @@
+"""Host topology planner vs device table builders — integer exactness.
+
+The loader-side planner (data/topology_host.py) must emit byte-identical
+skeletons and gather tables to the on-device builders
+(ops/sparse_conv_chunked.{chunked_from_voxels,build_chunked_tables,
+down2_sites}); any drift silently changes the conv neighborhoods.
+"""
+import numpy as np
+
+import jax.numpy as jnp
+import pytest
+
+from unidistill_tpu.data.topology_host import (
+    _stage_shapes,
+    plan_frame_topology,
+)
+from unidistill_tpu.ops.sparse_conv_chunked import (
+    build_chunked_tables,
+    chunked_from_voxels,
+    down2_sites,
+)
+from tests.test_sparse_conv_chunked import _random_voxels
+
+
+GRIDS = [
+    ((16, 12, 11), 40, 64),    # (nx, ny, nz): W, H, D-1
+    ((9, 9, 40), 25, 48),      # deep z — many chunks per column
+    ((32, 32, 3), 200, 256),   # shallow z, dense xy
+]
+
+
+@pytest.mark.parametrize("grid,n_active,cap", GRIDS)
+def test_host_tables_match_device(grid, n_active, cap):
+    nx, ny, nz = grid
+    s0, s2, s3 = _stage_shapes(grid)
+    rng = np.random.RandomState(0)
+    feats, coords = _random_voxels(rng, s0, n_active, 5, cap, B=2)
+
+    S2 = max(cap // 2, 16)
+    S3 = max(cap // 4, 16)
+
+    st = chunked_from_voxels(feats, coords, s0)
+    tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
+    sites2 = down2_sites(st.colkey, st.chunk, st.valid, tb0, s0, s2, S2)
+    tb2 = build_chunked_tables(sites2.colkey, sites2.chunk, sites2.valid, s2)
+    sites3 = down2_sites(sites2.colkey, sites2.chunk, sites2.valid, tb2,
+                         s2, s3, S3)
+    tb3 = build_chunked_tables(sites3.colkey, sites3.chunk, sites3.valid, s3)
+
+    for b in range(2):
+        topo = plan_frame_topology(np.asarray(coords[b]), grid, (S2, S3))
+
+        np.testing.assert_array_equal(topo["ck0"], np.asarray(st.colkey[b]))
+        np.testing.assert_array_equal(topo["ch0"], np.asarray(st.chunk[b]))
+        # feature placement: gathering voxels through src0 reproduces feats
+        V = feats.shape[1]
+        vf = np.concatenate(
+            [np.asarray(feats[b]), np.zeros((1, 5), np.float32)]
+        )
+        np.testing.assert_array_equal(
+            vf[topo["src0"]], np.asarray(st.feats[b], np.float32)
+        )
+        np.testing.assert_array_equal(
+            topo["src0"] < V, np.asarray(st.occ[b])
+        )
+
+        np.testing.assert_array_equal(
+            topo["nbr0"] >> 2, np.asarray(tb0.nbr_idx[b])
+        )
+        # case only matters where the row exists (device leaves case=2 noise
+        # at misses in some paths; both use idx=S there)
+        S0 = st.feats.shape[1]
+        hit = np.asarray(tb0.nbr_idx[b]) < S0
+        np.testing.assert_array_equal(
+            (topo["nbr0"] & 3)[hit], np.asarray(tb0.nbr_case[b])[hit]
+        )
+
+        np.testing.assert_array_equal(topo["ck2"], np.asarray(sites2.colkey[b]))
+        np.testing.assert_array_equal(topo["ch2"], np.asarray(sites2.chunk[b]))
+        np.testing.assert_array_equal(
+            topo["a2"] >> 2, np.asarray(sites2.nbr_a[b])
+        )
+        hit2 = np.asarray(sites2.nbr_a[b]) < S0
+        np.testing.assert_array_equal(
+            (topo["a2"] & 3)[hit2], np.asarray(sites2.case_a[b])[hit2]
+        )
+        np.testing.assert_array_equal(topo["b2"], np.asarray(sites2.nbr_b[b]))
+        np.testing.assert_array_equal(
+            topo["nbr2"] >> 2, np.asarray(tb2.nbr_idx[b])
+        )
+
+        np.testing.assert_array_equal(topo["ck3"], np.asarray(sites3.colkey[b]))
+        np.testing.assert_array_equal(topo["ch3"], np.asarray(sites3.chunk[b]))
+        np.testing.assert_array_equal(
+            topo["a3"] >> 2, np.asarray(sites3.nbr_a[b])
+        )
+        np.testing.assert_array_equal(topo["b3"], np.asarray(sites3.nbr_b[b]))
+        np.testing.assert_array_equal(
+            topo["nbr3"] >> 2, np.asarray(tb3.nbr_idx[b])
+        )
+
+
+def test_rev_tables_match_colmap_resolve():
+    """rev2 must reproduce the backward resolve the device does via colmap:
+    for each input slot and (ky,kx), the out-stage (row, case) pair."""
+    grid = (16, 12, 11)
+    s0, s2, s3 = _stage_shapes(grid)
+    rng = np.random.RandomState(1)
+    feats, coords = _random_voxels(rng, s0, 40, 5, 64, B=1)
+    S2 = 32
+    topo = plan_frame_topology(np.asarray(coords[0]), grid, (S2, 16))
+
+    st = chunked_from_voxels(feats, coords, s0)
+    tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
+    sites2 = down2_sites(st.colkey, st.chunk, st.valid, tb0, s0, s2, S2)
+    tb2 = build_chunked_tables(sites2.colkey, sites2.chunk, sites2.valid, s2)
+
+    from unidistill_tpu.ops.sparse_conv_chunked import _nch, _resolve
+
+    D2, H2, W2 = s2
+    nch2 = _nch(D2)
+    ck = np.asarray(st.colkey[0])
+    chk = np.asarray(st.chunk[0])
+    valid = np.asarray(st.valid[0])
+    W = s0[2]
+    yc, xc = ck // W, ck % W
+    t = chk // 2
+    o = 0
+    for ky in range(3):
+        for kx in range(3):
+            ny, nx_ = yc + 1 - ky, xc + 1 - kx
+            ok = (
+                (ny % 2 == 0) & (nx_ % 2 == 0)
+                & (ny >= 0) & (ny < 2 * H2) & (nx_ >= 0) & (nx_ < 2 * W2)
+                & valid
+            )
+            q = np.where(ok, (ny // 2) * W2 + (nx_ // 2), H2 * W2)
+            pack = np.asarray(tb2.colmap)[q]
+            row, case = _resolve(jnp.asarray(pack), jnp.asarray(t), nch2, S2)
+            row = np.asarray(row)
+            np.testing.assert_array_equal(topo["rev2"][o] >> 2, row)
+            hit = row < S2
+            np.testing.assert_array_equal(
+                (topo["rev2"][o] & 3)[hit], np.asarray(case)[hit]
+            )
+            o += 1

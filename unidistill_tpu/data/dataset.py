@@ -22,6 +22,7 @@ from PIL import Image
 
 from unidistill_tpu.configs.nuscenes import DataConfig, ModelConfig, CLASS_NAMES
 from unidistill_tpu.data import transforms as T
+from unidistill_tpu.data.voxelize_host import voxelize_frame
 
 # nuScenes general category → 10 detection classes (ref nuScenes_multimodal.py:13-37)
 MAP_GENERAL_TO_DETECTION = {
@@ -263,6 +264,21 @@ class NuScenesDataset:
             mask[:n] = True
             out["points"] = P
             out["points_mask"] = mask
+            # host-side voxelization + sparse-topology planning (overlapped
+            # in loader workers); the jitted step consumes these directly —
+            # see data/voxelize_host.py and data/topology_host.py
+            vf, vc = voxelize_frame(P, mask, mcfg, self.is_train)
+            out["voxel_feats"] = vf
+            out["voxel_coords"] = vc
+            if mcfg.lidar_encoder.encoder_impl == "chunked":
+                from unidistill_tpu.data.topology_host import (
+                    plan_frame_topology,
+                )
+
+                topo = plan_frame_topology(
+                    vc, mcfg.grid_size, mcfg.lidar_encoder.stage_voxel_caps
+                )
+                out.update({f"topo_{k}": v for k, v in topo.items()})
 
         # fused gt (cls 1-based in col 9), fixed shape
         G = mcfg.caps.max_gt_boxes

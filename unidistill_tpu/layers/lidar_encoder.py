@@ -228,6 +228,14 @@ class SparseBasicBlockChunked(nn.Module):
         return jnp.where(occ[..., None], f, 0.0)
 
 
+# Rematerialized block aliases: the encoder's res-block activations (window
+# tables + per-conv outputs) are the bulk of the LiDAR train step's HBM
+# footprint (it exceeded 16 GB by ~5 GB at b4, VERDICT r1 / PROFILE.md);
+# checkpointing the blocks trades one extra block-forward in backward for
+# dropping those temps. static arg = `train`.
+_RematBlockC = nn.remat(SparseBasicBlockChunked, static_argnums=(7,))
+
+
 class _DenseConv3d(nn.Module):
     """Dense 3D conv over z-outer [B, D, H, W, C], holding a [K, Cin, Cout]
     z-major param (checkpoint-identical to the sparse conv modules it
@@ -328,6 +336,9 @@ class SparseBasicBlockDense(nn.Module):
         return jnp.where(occ[..., None], f, 0.0)
 
 
+_RematBlockD = nn.remat(SparseBasicBlockDense, static_argnums=(3,))
+
+
 class _FoldConv3d(nn.Module):
     """3D conv reading a chunk-folded dense tensor [B, H, W, NCH, 4·Cin]:
     one 2D conv per output z plane, the 3D kernel's z taps embedded in a
@@ -407,20 +418,36 @@ class VoxelResBackBone8x(nn.Module):
     eval_mode_caps: bool = False
     dtype: Any = jnp.bfloat16
 
-    def _chunked_flow(self, feats, coords, train, shapes, caps):
+    def _chunked_flow(self, feats, coords, train, shapes, caps, topo=None):
         """Round-2 fast path: chunked s0/s2 + masked dense conv3d from s3.
 
         Math-identical to the per-voxel path (tests/test_lidar_encoder_impls
         cross-checks the full BEV output), ~5× fewer gather rows on s0/s2
-        and MXU-dense conv3d where occupancy is high (s3: ~5%, s4: ~20%)."""
-        from unidistill_tpu.ops.sparse_conv_chunked import ChunkedSparseTensor
+        and MXU-dense conv3d where occupancy is high (s3: ~5%, s4: ~20%).
+
+        topo: optional loader-side topology tables (data/topology_host.py)
+        — when present, all coords-only slot/table building (~300 ms/step
+        on v5e, PROFILE.md) is skipped and the device only gathers."""
+        from unidistill_tpu.ops.sparse_conv_chunked import (
+            ChunkedSparseTensor,
+            chunked_from_host,
+            sites_from_host,
+            tables_from_host,
+        )
 
         s0, s2, s3, s4, s5 = shapes
         dt = self.dtype
         B = feats.shape[0]
 
-        st = chunked_from_voxels(feats.astype(dt), coords, s0)
-        tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
+        if topo is not None:
+            st = chunked_from_host(
+                feats.astype(dt), topo["src0"], topo["ck0"], topo["ch0"],
+                s0[1] * s0[2],
+            )
+            tb0 = tables_from_host(topo["nbr0"])
+        else:
+            st = chunked_from_voxels(feats.astype(dt), coords, s0)
+            tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
 
         def bn_relu_ch(f, occ, name):
             S = occ.shape[1]
@@ -433,37 +460,47 @@ class VoxelResBackBone8x(nn.Module):
                              name="conv_input")(
             st.feats, st.occ, st.colkey, st.chunk, st.valid, tb0)
         f = bn_relu_ch(f, st.occ, "bn_input")
-        f = SparseBasicBlockChunked(16, dt, name="res1a")(
+        f = _RematBlockC(16, dt, name="res1a")(
             f, st.occ, st.colkey, st.chunk, st.valid, tb0, train)
-        f = SparseBasicBlockChunked(16, dt, name="res1b")(
+        f = _RematBlockC(16, dt, name="res1b")(
             f, st.occ, st.colkey, st.chunk, st.valid, tb0, train)
 
-        sites2 = down2_sites(st.colkey, st.chunk, st.valid, tb0, s0, s2,
-                             caps[0])
-        tb2 = build_chunked_tables(sites2.colkey, sites2.chunk, sites2.valid,
-                                   s2)
+        if topo is not None:
+            sites2 = sites_from_host(topo["ck2"], topo["ch2"], topo["a2"],
+                                     topo["b2"], topo["rev2"], s2[1] * s2[2])
+            tb2 = tables_from_host(topo["nbr2"])
+        else:
+            sites2 = down2_sites(st.colkey, st.chunk, st.valid, tb0, s0, s2,
+                                 caps[0])
+            tb2 = build_chunked_tables(sites2.colkey, sites2.chunk,
+                                       sites2.valid, s2)
         f2, occ2 = _Down2Chunked(16, 32, s0, s2, dt, name="down2")(
             f, st.occ, st.colkey, st.chunk, st.valid, sites2, tb2
         )
         f2 = bn_relu_ch(f2, occ2, "bn2")
-        f2 = SparseBasicBlockChunked(32, dt, name="res2a")(
+        f2 = _RematBlockC(32, dt, name="res2a")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, tb2, train)
-        f2 = SparseBasicBlockChunked(32, dt, name="res2b")(
+        f2 = _RematBlockC(32, dt, name="res2b")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, tb2, train)
 
         # s3 stays chunked too: at the 65k slot cap, 9 row-gathers/slot
         # beat dense conv2d decompositions ~3x (s3 occupancy is ~3-6%)
-        sites3 = down2_sites(sites2.colkey, sites2.chunk, sites2.valid, tb2,
-                             s2, s3, caps[1])
-        tb3 = build_chunked_tables(sites3.colkey, sites3.chunk, sites3.valid,
-                                   s3)
+        if topo is not None:
+            sites3 = sites_from_host(topo["ck3"], topo["ch3"], topo["a3"],
+                                     topo["b3"], topo["rev3"], s3[1] * s3[2])
+            tb3 = tables_from_host(topo["nbr3"])
+        else:
+            sites3 = down2_sites(sites2.colkey, sites2.chunk, sites2.valid,
+                                 tb2, s2, s3, caps[1])
+            tb3 = build_chunked_tables(sites3.colkey, sites3.chunk,
+                                       sites3.valid, s3)
         f3, occ3 = _Down2Chunked(32, 64, s2, s3, dt, name="down3")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, sites3, tb3
         )
         f3 = bn_relu_ch(f3, occ3, "bn3")
-        f3 = SparseBasicBlockChunked(64, dt, name="res3a")(
+        f3 = _RematBlockC(64, dt, name="res3a")(
             f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)
-        f3 = SparseBasicBlockChunked(64, dt, name="res3b")(
+        f3 = _RematBlockC(64, dt, name="res3b")(
             f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)
 
         st3 = ChunkedSparseTensor(f3, occ3, sites3.colkey, sites3.chunk,
@@ -487,8 +524,8 @@ class VoxelResBackBone8x(nn.Module):
         occ4 = _maxpool_occ(occz3, (3, 3, 3), (2, 2, 2), (0, 1, 1))
         d4 = jnp.transpose(d4, (0, 3, 1, 2, 4))  # z-outer [B, 5, 180, 180, 128]
         d4 = bn_relu_d(d4, occ4, "bn4")
-        d4 = SparseBasicBlockDense(128, dt, name="res4a")(d4, occ4, train)
-        d4 = SparseBasicBlockDense(128, dt, name="res4b")(d4, occ4, train)
+        d4 = _RematBlockD(128, dt, name="res4a")(d4, occ4, train)
+        d4 = _RematBlockD(128, dt, name="res4b")(d4, occ4, train)
 
         d5 = _DenseConv3d(128, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0), False,
                           dt, name="conv_out")(d4)
@@ -503,7 +540,7 @@ class VoxelResBackBone8x(nn.Module):
         return jnp.transpose(d5, (0, 2, 3, 4, 1)).reshape(Bn, H, W, C * Dz)
 
     @nn.compact
-    def __call__(self, feats, coords, train: bool):
+    def __call__(self, feats, coords, train: bool, topo=None):
         cfg = self.cfg
         nx, ny, nz = cfg.grid_size
         s0 = (nz + 1, ny, nx)  # ref: grid_size[::-1] + [1, 0, 0] → (41, 1440, 1440)
@@ -519,7 +556,7 @@ class VoxelResBackBone8x(nn.Module):
 
         if cfg.encoder_impl == "chunked":
             return self._chunked_flow(
-                feats, coords, train, (s0, s2, s3, s4, s5), caps
+                feats, coords, train, (s0, s2, s3, s4, s5), caps, topo
             )
 
         # from_voxels is elementwise — batched arrays pass straight through
@@ -605,8 +642,8 @@ class LidarEncoder(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, voxel_feats, voxel_coords, train: bool):
+    def __call__(self, voxel_feats, voxel_coords, train: bool, topo=None):
         """voxel_feats [B, V, 5] (mean VFE output), voxel_coords [B, V, 3] (z,y,x)."""
         return VoxelResBackBone8x(self.cfg, dtype=self.dtype, name="backbone_3d")(
-            voxel_feats, voxel_coords, train
+            voxel_feats, voxel_coords, train, topo
         )

@@ -78,6 +78,9 @@ class ChunkedTables(NamedTuple):
     nbr_idx: jnp.ndarray   # [B, 9, S] int32 slot idx per xy offset; S = miss
     nbr_case: jnp.ndarray  # [B, 9, S] int32 0: row s, 1: row s-1, 2: row s+1
     colmap: jnp.ndarray    # [B·(H·W+1)] int32 (first_slot << NCH) | bits; -1
+    # colmap is None when tables come from the host planner
+    # (data/topology_host.py) — then DownSites.rev carries the backward
+    # resolve that the device VJP would otherwise derive from colmap.
 
 
 def _column_arrays(colkey, chunk, valid, hw: int):
@@ -328,6 +331,9 @@ def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
     B, S, _, C = feats.shape
     dt = jnp.dtype(dtype_str)
     w = _w_zyx(weight).astype(dt)
+    if reverse:
+        w = w[::-1]  # z-tap flip; the Z-correlation below then matches the
+        # reversed window read win[:, (2-dz)+z] exactly
     tab = _window_table(feats, occ, colkey, chunk, valid, False, dt)
     outs = []
     for b in range(B):
@@ -336,14 +342,27 @@ def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
             oo = 8 - o if reverse else o
             dy, dx = o // 3, o % 3
             g = tab[b][tables.nbr_idx[b, oo]].reshape(S, ROWZ, C)
-            win = _extract_subm_window(g, tables.nbr_case[b, oo], C)
+            # z-correlate the FULL 10-row with the 3 z-taps once:
+            #   Z[:, q] = Σ_dz g[:, q−4+dz] · w[dz]   (q ∈ 0..11)
+            # then the 3-way case select indexes the OUTPUT — Z[:, 4:8]
+            # (case 0: own row), Z[:, 8:12] (case 1: row s−1, window shifts
+            # +4), Z[:, 0:4] (case 2: row s+1, −4) — instead of
+            # materializing per-case [S, 6, C] input windows per offset
+            # (PROFILE.md r2 lever 1).
+            Z = None
             for dz in range(3):
-                dzz = 2 - dz if reverse else dz
-                term = jnp.einsum(
-                    "szc,co->szo", win[:, dzz:dzz + 4, :], w[dz, dy, dx],
+                f = jnp.einsum(
+                    "szc,co->szo", g, w[dz, dy, dx],
                     preferred_element_type=dt,
                 )
-                acc = term if acc is None else acc + term
+                fp = jnp.pad(f, ((0, 0), (4 - dz, 0), (0, 0)))[:, :12]
+                Z = fp if Z is None else Z + fp
+            c = tables.nbr_case[b, oo][:, None, None]
+            term = jnp.where(
+                c == 0, Z[:, 4:8],
+                jnp.where(c == 1, Z[:, 8:12], Z[:, 0:4]),
+            )
+            acc = term if acc is None else acc + term
         outs.append(acc)
     out = jnp.stack(outs)
     if bias is not None:
@@ -418,6 +437,40 @@ class DownSites(NamedTuple):
     nbr_a: jnp.ndarray   # [B, 9, S2] IN slot idx covering chunk 2s (3-way)
     case_a: jnp.ndarray  # [B, 9, S2] case of nbr_a
     nbr_b: jnp.ndarray   # [B, 9, S2] IN slot idx at chunk 2s+1 (exact only)
+    # host-planner only: [B, 9, S_in] packed out_row·4+case backward resolve
+    # (replaces the VJP's colmap lookups); None on the device-built path
+    rev: jnp.ndarray = None
+
+
+def tables_from_host(nbr_pack: jnp.ndarray) -> ChunkedTables:
+    """[B, 9, S] packed idx·4+case (data/topology_host.py) → ChunkedTables."""
+    return ChunkedTables(nbr_pack >> 2, nbr_pack & 3, None)
+
+
+def sites_from_host(ck, ch, a_pack, b_idx, rev, out_hw: int) -> DownSites:
+    return DownSites(ck, ch, ck < out_hw, a_pack >> 2, a_pack & 3, b_idx, rev)
+
+
+def chunked_from_host(
+    voxel_feats: jnp.ndarray,  # [B, V, C]
+    src0: jnp.ndarray,         # [B, S, 4] int32 voxel index; V = empty site
+    ck: jnp.ndarray,           # [B, S] int32
+    ch: jnp.ndarray,           # [B, S] int32
+    hw: int,
+) -> ChunkedSparseTensor:
+    """Chunked tensor from the host planner's slot map: one row-gather per
+    slot-z site instead of the device-side scatter build (which cost
+    ~28 ms/step at s0 scale from (8,128) lane padding of C=5 rows)."""
+    B, V, C = voxel_feats.shape
+    vf = jnp.concatenate(
+        [voxel_feats, jnp.zeros((B, 1, C), voxel_feats.dtype)], axis=1
+    )
+    feats = jnp.stack(
+        [vf[b][src0[b].reshape(-1)].reshape(-1, CHUNK, C) for b in range(B)]
+    )
+    valid = ck < hw
+    occ = (src0 < V) & valid[..., None]
+    return ChunkedSparseTensor(feats, occ, ck, ch, valid)
 
 
 def _resolve_exact(pack, s, nch: int, S: int):
@@ -670,15 +723,21 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
         df = jnp.zeros((S, 4, C), jnp.float32)
         for ky in range(3):
             for kx in range(3):
-                ny, nx_ = yc[b] + 1 - ky, xc[b] + 1 - kx
-                ok = (
-                    (ny % 2 == 0) & (nx_ % 2 == 0)
-                    & (ny >= 0) & (ny < 2 * H2) & (nx_ >= 0) & (nx_ < 2 * W2)
-                    & valid[b]
-                )
-                q = jnp.where(ok, (ny // 2) * W2 + (nx_ // 2), H2 * W2)
-                pack = out_tables.colmap[q + b * (H2 * W2 + 1)]
-                row, case = _resolve(pack, t[b], nch_out, S2)
+                if sites.rev is not None:
+                    # host-planned backward resolve (topology_host.py)
+                    rv = sites.rev[b, ky * 3 + kx]
+                    row, case = rv >> 2, rv & 3
+                else:
+                    ny, nx_ = yc[b] + 1 - ky, xc[b] + 1 - kx
+                    ok = (
+                        (ny % 2 == 0) & (nx_ % 2 == 0)
+                        & (ny >= 0) & (ny < 2 * H2)
+                        & (nx_ >= 0) & (nx_ < 2 * W2)
+                        & valid[b]
+                    )
+                    q = jnp.where(ok, (ny // 2) * W2 + (nx_ // 2), H2 * W2)
+                    pack = out_tables.colmap[q + b * (H2 * W2 + 1)]
+                    row, case = _resolve(pack, t[b], nch_out, S2)
                 gr = gtab[b][row].reshape(S, ROWZ, co)
                 # window base: q0(u) = u + 1 (s even) | u + 3 (s odd), then
                 # case1: +4, case2: −4 (negatives are provably-zero reads)

@@ -52,8 +52,23 @@ def voxelize_batch(batch: Dict[str, jnp.ndarray], cfg: ModelConfig, training: bo
 def model_inputs(batch, cfg: ModelConfig, training: bool) -> Dict[str, Any]:
     kw: Dict[str, Any] = {}
     if cfg.with_lidar:
-        vf, vc = voxelize_batch(batch, cfg, training)
-        kw.update(voxel_feats=vf, voxel_coords=vc)
+        if "voxel_feats" in batch:
+            # loader-side voxelization (data/voxelize_host.py) — overlapped
+            # with device compute in the worker pool
+            kw.update(
+                voxel_feats=batch["voxel_feats"],
+                voxel_coords=batch["voxel_coords"],
+            )
+        else:
+            vf, vc = voxelize_batch(batch, cfg, training)
+            kw.update(voxel_feats=vf, voxel_coords=vc)
+        topo = {
+            k[len("topo_"):]: v for k, v in batch.items()
+            if k.startswith("topo_")
+        }
+        if topo:
+            # loader-side sparse-topology tables (data/topology_host.py)
+            kw.update(lidar_topo=topo)
     if cfg.with_camera:
         kw.update(imgs=batch["imgs"], mats=batch["mats"])
     return kw
