@@ -184,3 +184,46 @@ def test_mp_loader(synth_root):
     for b in dl:
         n += b["points"].shape[0]
     assert n == len(ds)
+
+
+def test_img_transform_matrix_matches_sequential_oracle():
+    """The composed-affine IDA matrix must equal the reference's running
+    (rot, tran) accumulation (ref functional.py:560-593) bit-for-bit-ish,
+    for the matrix AND the transformed image."""
+    from PIL import Image as PILImage
+
+    from unidistill_tpu.data.transforms import img_transform
+
+    def oracle(resize, crop, flip, rotate):
+        rot = np.eye(2) * resize
+        tran = -np.asarray(crop[:2], np.float64)
+        if flip:
+            A = np.array([[-1.0, 0.0], [0.0, 1.0]])
+            b = np.array([crop[2] - crop[0], 0.0])
+            rot, tran = A @ rot, A @ tran + b
+        ang = rotate / 180 * np.pi
+        A = np.array([[np.cos(ang), np.sin(ang)],
+                      [-np.sin(ang), np.cos(ang)]])
+        b = np.array([crop[2] - crop[0], crop[3] - crop[1]]) / 2
+        b = A @ (-b) + b
+        rot, tran = A @ rot, A @ tran + b
+        m = np.eye(4)
+        m[:2, :2], m[:2, 3] = rot, tran
+        return m
+
+    rng = np.random.RandomState(0)
+    img = PILImage.fromarray(
+        rng.randint(0, 255, (64, 96, 3), np.uint8)
+    )
+    cases = [
+        (0.5, (48, 32), (2, 3, 40, 25), False, 0.0),
+        (1.3, (125, 84), (10, 8, 74, 56), True, 5.4),
+        (0.9, (87, 58), (0, 0, 64, 48), True, -3.7),
+        (1.0, (96, 64), (16, 16, 80, 48), False, 12.0),
+    ]
+    for resize, dims, crop, flip, rot in cases:
+        out, ida = img_transform(img, resize, dims, crop, flip, rot)
+        np.testing.assert_allclose(
+            ida, oracle(resize, crop, flip, rot), rtol=1e-12, atol=1e-12
+        )
+        assert out.size == (crop[2] - crop[0], crop[3] - crop[1])

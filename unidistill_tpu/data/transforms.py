@@ -111,34 +111,42 @@ def sample_ida_augs(
     return resize, resize_dims, crop, flip, rotate
 
 
+def _aff3(A=None, b=(0.0, 0.0)) -> np.ndarray:
+    """2D affine op as a 3×3 homogeneous matrix."""
+    M = np.eye(3)
+    if A is not None:
+        M[:2, :2] = A
+    M[:2, 2] = b
+    return M
+
+
 def img_transform(img: Image.Image, resize, resize_dims, crop, flip, rotate):
-    """PIL image aug + 4×4 IDA matrix (ref functional.py:560-593)."""
-    ida_rot = np.eye(2)
-    ida_tran = np.zeros(2)
-    img = img.resize(resize_dims)
-    img = img.crop(crop)
+    """PIL image aug + 4×4 IDA matrix.
+
+    The matrix is the composition of the four pixel-space ops applied to the
+    image, each written as a homogeneous affine and left-multiplied in
+    application order — numerically identical to the reference's running
+    (rot, tran) accumulation (ref functional.py:560-593; equivalence
+    oracle-tested in tests/test_data_pipeline.py)."""
+    img = img.resize(resize_dims).crop(crop)
     if flip:
         img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
     img = img.rotate(rotate)
 
-    ida_rot *= resize
-    ida_tran -= np.array(crop[:2])
+    cw, ch = crop[2] - crop[0], crop[3] - crop[1]
+    M = _aff3(np.eye(2) * resize)                       # scale about origin
+    M = _aff3(b=(-crop[0], -crop[1])) @ M               # crop translation
     if flip:
-        A = np.array([[-1, 0], [0, 1]])
-        b = np.array([crop[2] - crop[0], 0])
-        ida_rot = A @ ida_rot
-        ida_tran = A @ ida_tran + b
-    ang = rotate / 180 * np.pi
-    A = np.array([[np.cos(ang), np.sin(ang)], [-np.sin(ang), np.cos(ang)]])
-    b = np.array([crop[2] - crop[0], crop[3] - crop[1]]) / 2
-    b = A @ (-b) + b
-    ida_rot = A @ ida_rot
-    ida_tran = A @ ida_tran + b
-    ida_mat = np.zeros((4, 4))
-    ida_mat[3, 3] = 1
-    ida_mat[2, 2] = 1
-    ida_mat[:2, :2] = ida_rot
-    ida_mat[:2, 3] = ida_tran
+        M = _aff3(np.diag([-1.0, 1.0]), (cw, 0.0)) @ M  # mirror in crop box
+    ang = np.deg2rad(rotate)
+    R = np.array([[np.cos(ang), np.sin(ang)],
+                  [-np.sin(ang), np.cos(ang)]])
+    ctr = np.array([cw, ch]) / 2.0
+    M = _aff3(R, ctr - R @ ctr) @ M                     # rotate about center
+
+    ida_mat = np.eye(4)
+    ida_mat[:2, :2] = M[:2, :2]
+    ida_mat[:2, 3] = M[:2, 2]
     return img, ida_mat
 
 

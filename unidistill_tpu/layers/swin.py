@@ -105,7 +105,7 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
             mask = _shift_attn_mask(H, W, ws, self.shift)
@@ -119,10 +119,10 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + x.astype(shortcut.dtype)
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y.astype(self.dtype))
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y.astype(x.dtype)
 
@@ -141,7 +141,7 @@ class SwinTransformer(nn.Module):
         (stage i has stride 4·2^i, dim embed·2^i)."""
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
                     name="patch_embed")(x.astype(self.dtype))
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x)
 
         outs = []
         dim = self.embed_dim
@@ -160,7 +160,7 @@ class SwinTransformer(nn.Module):
             x = xp[:, :H, :W]
             if stage in self.out_indices:
                 outs.append(
-                    nn.LayerNorm(dtype=jnp.float32,
+                    nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                  name=f"out_norm{stage}")(x)
                 )
             if stage < len(self.depths) - 1:
@@ -172,7 +172,7 @@ class SwinTransformer(nn.Module):
                 xm = xm.transpose(0, 1, 3, 2, 4, 5).reshape(
                     B2, H2 // 2, W2 // 2, 4 * C
                 )
-                xm = nn.LayerNorm(dtype=jnp.float32,
+                xm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                   name=f"merge_norm{stage}")(xm)
                 x = nn.Dense(2 * dim, use_bias=False, dtype=self.dtype,
                              name=f"merge_reduction{stage}")(xm)

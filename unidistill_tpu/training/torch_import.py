@@ -158,6 +158,68 @@ def _import_sparse_backbone(b: TreeBuilder, sd, t: str, j: str):
     b.add_masked_bn(sd, f"{t}.conv_out.1", f"{j}/bn_out")
 
 
+def _ln(b: TreeBuilder, sd, tname, jpath):
+    if f"{tname}.weight" not in sd:
+        return
+    b.set(b.params, f"{jpath}/scale", sd[f"{tname}.weight"])
+    b.set(b.params, f"{jpath}/bias", sd[f"{tname}.bias"])
+
+
+def _linear(b: TreeBuilder, sd, tname, jpath, bias=True):
+    if f"{tname}.weight" not in sd:
+        return
+    b.set(b.params, f"{jpath}/kernel", linear(sd[f"{tname}.weight"]))
+    if bias and f"{tname}.bias" in sd:
+        b.set(b.params, f"{jpath}/bias", sd[f"{tname}.bias"])
+
+
+def _import_swin(b: TreeBuilder, sd, t: str, j: str, embed_dim=96,
+                 depths=(2, 2, 6, 2), out_indices=(1, 2, 3)):
+    """mmdet SwinTransformer state dict → our `layers/swin.SwinTransformer`
+    (ref base_nuscenes_cfg.py:137-157 configures the swin-tiny variant).
+
+    Key schema: mmdet's (`patch_embed.projection`, `stages.{i}.blocks.{j}`
+    with `attn.w_msa.*`, `ffn.layers.0.0` / `ffn.layers.1`,
+    `stages.{i}.downsample.{norm,reduction}`, out `norm{i}`). The patch
+    merge needs a channel permutation: mmdet's Unfold emits channel-major
+    (c·4 + 2ky+kx) 2×2 patches, our reshape/transpose emits position-major
+    ((2ky+kx)·C + c)."""
+    b.add_conv(sd, f"{t}.patch_embed.projection", f"{j}/patch_embed",
+               bias=True)
+    _ln(b, sd, f"{t}.patch_embed.norm", f"{j}/patch_norm")
+    dim = embed_dim
+    for st, depth in enumerate(depths):
+        for blk in range(depth):
+            tb = f"{t}.stages.{st}.blocks.{blk}"
+            jb = f"{j}/stage{st}_block{blk}"
+            _ln(b, sd, f"{tb}.norm1", f"{jb}/norm1")
+            _ln(b, sd, f"{tb}.norm2", f"{jb}/norm2")
+            am = f"{tb}.attn.w_msa"
+            if f"{am}.relative_position_bias_table" in sd:
+                b.set(b.params, f"{jb}/attn/relative_position_bias_table",
+                      sd[f"{am}.relative_position_bias_table"])
+            _linear(b, sd, f"{am}.qkv", f"{jb}/attn/qkv")
+            _linear(b, sd, f"{am}.proj", f"{jb}/attn/proj")
+            _linear(b, sd, f"{tb}.ffn.layers.0.0", f"{jb}/mlp_fc1")
+            _linear(b, sd, f"{tb}.ffn.layers.1", f"{jb}/mlp_fc2")
+        dkey = f"{t}.stages.{st}.downsample"
+        if f"{dkey}.reduction.weight" in sd:
+            C = dim
+            # flax position-major index (2ky+kx)·C + c ← torch c·4 + 2ky+kx
+            perm = np.asarray(
+                [c * 4 + p for p in range(4) for c in range(C)]
+            )
+            nw = sd[f"{dkey}.norm.weight"][perm]
+            nb = sd[f"{dkey}.norm.bias"][perm]
+            b.set(b.params, f"{j}/merge_norm{st}/scale", nw)
+            b.set(b.params, f"{j}/merge_norm{st}/bias", nb)
+            rw = linear(sd[f"{dkey}.reduction.weight"])[perm]  # [4C, 2C]
+            b.set(b.params, f"{j}/merge_reduction{st}/kernel", rw)
+        dim *= 2
+    for st in out_indices:
+        _ln(b, sd, f"{t}.norm{st}", f"{j}/out_norm{st}")
+
+
 def _import_bev_backbone(b: TreeBuilder, sd, t: str, j: str, layer_nums,
                          upsample_strides):
     for i, n in enumerate(layer_nums):
@@ -231,7 +293,11 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg) -> Tuple[Dict, Dict]:
     if cfg.with_camera and any(k.startswith("camera_encoder") for k in sd):
         cam = "camera_encoder.backbone"
         jcam = "camera_encoder"
-        _import_resnet50(b, sd, f"{cam}.img_backbone", f"{jcam}/img_backbone")
+        if getattr(cfg.camera_encoder, "img_backbone", "resnet50") == "swin":
+            _import_swin(b, sd, f"{cam}.img_backbone", f"{jcam}/img_backbone")
+        else:
+            _import_resnet50(b, sd, f"{cam}.img_backbone",
+                             f"{jcam}/img_backbone")
         _import_second_fpn(
             b, sd, f"{cam}.img_neck", f"{jcam}/img_neck",
             cfg.camera_encoder.img_neck_upsample_strides,
