@@ -18,6 +18,8 @@ import jax
 from tests.test_data_pipeline import build_synth_nusc
 from unidistill_tpu.configs import nuscenes as cfgs
 
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast suite
+
 
 N_FRAMES = 8
 

@@ -7,6 +7,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast suite
+
 EXPS = sorted(
     p
     for p in (

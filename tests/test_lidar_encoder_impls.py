@@ -2,6 +2,8 @@
 gather-GEMM implementation bit-for-bit in float32 — same params, same BEV
 output (both are exact formulations of the same sparse ResNet,
 ref spconv_backbone.py:253-343)."""
+import pytest
+
 import dataclasses
 
 import numpy as np
@@ -12,6 +14,8 @@ import jax.numpy as jnp
 from unidistill_tpu.configs.nuscenes import tiny_model
 from unidistill_tpu.layers.lidar_encoder import VoxelResBackBone8x
 from unidistill_tpu.ops.voxelize import voxelize_batched
+
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast suite
 
 
 def _voxel_batch(cfg, B=2, n=1500, seed=0):

@@ -1,5 +1,7 @@
 """BEV spatial sharding (2-D dp×bev mesh, GSPMD halos) vs the replicated
 path — 8 virtual CPU devices (conftest)."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,8 @@ from unidistill_tpu.training.train_state import (
     make_optimizer,
 )
 
+
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast suite
 
 def test_spatial_eval_matches_replicated():
     cfg = tiny_model()

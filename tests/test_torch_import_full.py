@@ -22,6 +22,8 @@ from unidistill_tpu.configs.nuscenes import fusion_exp
 from unidistill_tpu.models.bevfusion import BEVFusionCenterHead
 from unidistill_tpu.training.torch_import import convert_state_dict
 
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast suite
+
 
 class RecordingDict(dict):
     def __init__(self, *a, **k):

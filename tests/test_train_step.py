@@ -20,6 +20,8 @@ from unidistill_tpu.training.steps import (
 )
 from unidistill_tpu.training.train_state import create_train_state, make_optimizer
 
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast suite
+
 
 def make_batch(rng, cfg, B):
     P_, G = cfg.caps.max_points, cfg.caps.max_gt_boxes
