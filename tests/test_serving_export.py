@@ -1,4 +1,6 @@
 """AOT serving export: serialize → reload → identical predictions."""
+import pytest
+
 import numpy as np
 
 import jax
@@ -10,10 +12,13 @@ from unidistill_tpu.models.bevfusion import BEVFusionCenterHead
 from unidistill_tpu.serving.export import export_detector, load_detector
 from unidistill_tpu.training.steps import eval_step, model_inputs
 from unidistill_tpu.training.train_state import (
+
     create_train_state,
     make_optimizer,
 )
 
+
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast suite
 
 def test_export_roundtrip(tmp_path):
     cfg = tiny_model()
@@ -51,3 +56,39 @@ def test_export_roundtrip(tmp_path):
     gr = np.sort(np.asarray(ref["scores"])[ref_mask])[::-1]
     k = min(len(ga), len(gr))
     np.testing.assert_allclose(ga[:k], gr[:k], rtol=5e-2, atol=5e-3)
+
+    # Fresh-process load+predict: the failure mode that motivated the
+    # export-safe geometry (LAPACK custom calls segfaulting when a
+    # deserialized module compiles in a new process — lss.py inv44
+    # docstring) only reproduces outside the exporting process (ADVICE r1).
+    import subprocess
+    import sys
+
+    import pickle
+
+    pkl = str(tmp_path / "batch.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, dict(batch)), f)
+    script = (
+        "import sys, pickle, numpy as np\n"
+        "import jax\n"
+        # the axon sitecustomize force-registers the TPU backend; a fresh
+        # process must pin CPU the same way conftest does or it hangs on
+        # the relay
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/root/.cache/jax_comp_cache')\n"
+        f"sys.path.insert(0, {repr(str(tmp_path))})\n"
+        "from unidistill_tpu.serving.export import load_detector\n"
+        f"det = load_detector({repr(out_dir)})\n"
+        f"data = pickle.load(open({repr(pkl)}, 'rb'))\n"
+        "out = det.predict(data)\n"
+        "assert np.isfinite(out['scores']).all()\n"
+        "print('SUBPROC_OK', float(out['scores'].sum()))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "SUBPROC_OK" in proc.stdout

@@ -201,7 +201,13 @@ def subm_conv_keymatch(
 ) -> jnp.ndarray:
     """Submanifold 3×3×3 conv on the sorted voxel set. Returns [B, V, Cout]
     (invalid rows produce garbage — mask with `valid` outside, as the
-    gather-GEMM path does)."""
+    gather-GEMM path does).
+
+    Caller obligation (ADVICE r1): neighbors outside a (block, tap) window
+    are silently dropped — callers MUST size `window` so that
+    `subm_window_overflow(keys, spatial_shape, block, window) == 0` for
+    their voxel distribution, or verify it in a debug pass; denser-than-
+    expected clouds otherwise yield silently wrong convolutions."""
     return _subm_fwd_impl(features, keys, weight, spatial_shape, block, window)
 
 

@@ -89,6 +89,16 @@ def export_detector(
         batch_size=batch_size,
         platforms=list(exp.platforms),
         class_names=list(cfg.class_names),
+        # expected input pytree (flattened by '/'-joined path, e.g.
+        # "mats/ida_mats"), so loaders can validate before the opaque
+        # jax.export call error (ADVICE r1)
+        batch_spec={
+            "/".join(str(getattr(p, "key", p)) for p in path):
+                dict(shape=list(v.shape), dtype=str(np.dtype(v.dtype)))
+            for path, v in jax.tree_util.tree_flatten_with_path(
+                _batch_spec(cfg, batch_size)
+            )[0]
+        },
     )
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -106,8 +116,44 @@ class LoadedDetector:
             self.meta = json.load(f)
 
     def predict(self, batch) -> Dict[str, np.ndarray]:
+        spec = self.meta.get("batch_spec")
+        if spec is not None:
+            flat = {
+                "/".join(str(getattr(p, "key", p)) for p in path): leaf
+                for path, leaf in
+                jax.tree_util.tree_flatten_with_path(dict(batch))[0]
+            }
+            missing = sorted(set(spec) - set(flat))
+            if missing:
+                raise ValueError(
+                    f"batch is missing keys {missing}; expected "
+                    f"{sorted(spec)} (see meta.json batch_spec)"
+                )
+            for k, s in spec.items():
+                got = tuple(np.shape(flat[k]))
+                if got != tuple(s["shape"]):
+                    raise ValueError(
+                        f"batch[{k!r}] has shape {got}, expected "
+                        f"{tuple(s['shape'])} dtype {s['dtype']}"
+                    )
+            # drop keys outside the exported contract (e.g. loader-side
+            # topo_* tables or training-only fields): the exported pytree
+            # must match exactly
+            batch = _unflatten_paths({k: flat[k] for k in spec})
         out = self._exp.call(batch)
         return jax.tree.map(np.asarray, out)
+
+
+def _unflatten_paths(flat: Dict[str, Any]) -> Dict[str, Any]:
+    """{'a/b': x} → {'a': {'b': x}} (inverse of the '/'-joined flatten)."""
+    out: Dict[str, Any] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
 
 
 def load_detector(path: str) -> LoadedDetector:
