@@ -228,9 +228,9 @@ def build_chunked_tables(
     packs = jnp.concatenate(
         [packs, jnp.full((B, 1, 16), -1, jnp.int32)], axis=1
     )  # row S = invalid column
-    slot_packs = jnp.stack(
-        [packs[b][jnp.minimum(col_of[b], S)] for b in range(B)]
-    )  # [B, S, 16]
+    packsf = packs.reshape(B * (S + 1), 16)
+    spi = jnp.minimum(col_of, S) + boff * (S + 1)
+    slot_packs = packsf[spi.reshape(-1)].reshape(B, S, 16)
 
     idxs, cases = [], []
     for o in range(9):
@@ -298,6 +298,42 @@ def _window_table(feats, occ, colkey, chunk, valid, with_occ: bool, dt):
     )
 
 
+def _case_view(tab, B, C):
+    """Window table [B, S+1, 10·C] → case-resolved 6-z views
+    [B·(S+1)·3, 6·C], so one gather with index 3·row+case fetches the final
+    subm window (no per-case select on gathered data).
+
+    View j covers window z positions p ∈ 0..5 at source-row offset
+    {0, +4, −4}: j=0 rows 0:6; j=1 rows 4:10; j=2 [0,0,0,0, rows 0:2]
+    (case-2 lower positions are provably empty — see `_resolve`)."""
+    t = tab.reshape(B, -1, ROWZ, C)
+    v0 = t[:, :, 0:6]
+    v1 = t[:, :, 4:10]
+    v2 = jnp.concatenate([jnp.zeros_like(t[:, :, 0:4]), t[:, :, 0:2]], 2)
+    v = jnp.stack([v0, v1, v2], axis=2)  # [B, S+1, 3, 6, C]
+    return v.reshape(B * t.shape[1] * 3, 6 * C)
+
+
+def _band_weight(w3, C: int, co: int, window: int, zstride: int, dt):
+    """Fold the 3 z taps into a banded [9, window·C, 4·co] weight so the
+    whole z correlation is ONE batched GEMM per conv:
+
+      W[o][(q, c), (zi, k)] = w3[q − zstride·zi, oy, ox, c, k]
+                              when 0 ≤ q − zstride·zi ≤ 2, else 0
+
+    (out z position zi reads window position q = zstride·zi + dz).
+    window=6, zstride=1 for the subm conv; window=9, zstride=2 for the
+    k3/s2 down conv."""
+    wz = w3.reshape(3, 9, C, co)  # [dz, o, c, k] (z-major tap order)
+    cols = [
+        jnp.pad(wz, ((zstride * zi, window - 3 - zstride * zi),
+                     (0, 0), (0, 0), (0, 0)))
+        for zi in range(4)
+    ]
+    W = jnp.stack(cols, axis=3)  # [window, 9, C, 4, co]
+    return W.transpose(1, 0, 2, 3, 4).reshape(9, window * C, 4 * co).astype(dt)
+
+
 def _extract_subm_window(g, case, C):
     """Gathered rows [S, 10, C] + per-row case → window [S, 6, C] covering
     z = 4s−1+p, p ∈ 0..5. case0: q=p; case1 (row s−1): q=p+4;
@@ -322,49 +358,60 @@ def _w_zyx(weight: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
+_OFFS8 = tuple(o for o in range(9) if o != 4)  # non-center xy offsets
+
+
 def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
                tables: ChunkedTables, dtype_str, reverse: bool = False):
     """feats [B,S,4,Cin] → occ-masked [B,S,4,Cout].
 
+    Flattened formulation: the per-(batch, offset) python loops of the first
+    round-2 build created 36 gathers + 108 einsums + pads/selects per conv,
+    measured ~76 ms/conv (s2 shape) with the Z-trick pad alone costing
+    ~128 ms/step (trace, PROFILE.md). Measured v5e facts that shape this
+    version (experiments/mb_table_cliff.py):
+
+      * row gathers run at ~3.8 ns/idx from tables ≤ ~75 MB and ~12.4 ns/idx
+        above ~110 MB — so the window table is gathered PER SAMPLE
+        ([S+1, 10C] bf16 stays ≤ 63 MB at every stage cap) rather than
+        batch-globally;
+      * index count is the wall (width/banding/zero-row-fraction barely
+        matter), so the center offset never gathers (identity rows) and the
+        whole z correlation folds into the weight (`_band_weight`): per
+        sample ONE [8·S] gather, one case select, one batched
+        [8, S, 6C] × [8, 6C, 4co] GEMM.
+
     reverse=True runs the offset-reversed conv (used by the VJP): xy offsets
     flip via o ↔ 8−o through the same tables, z taps via dz ↔ 2−dz."""
     B, S, _, C = feats.shape
+    co = weight.shape[-1]
     dt = jnp.dtype(dtype_str)
-    w = _w_zyx(weight).astype(dt)
+    w3 = _w_zyx(weight).astype(dt)
     if reverse:
-        w = w[::-1]  # z-tap flip; the Z-correlation below then matches the
-        # reversed window read win[:, (2-dz)+z] exactly
+        w3 = w3[::-1]  # z-tap flip; with the banded weight this reads
+        # win[q]·w[2−(q−zi)] — exactly the reversed conv
     tab = _window_table(feats, occ, colkey, chunk, valid, False, dt)
-    outs = []
+    W6 = _band_weight(w3, C, co, 6, 1, dt)        # [9, 6C, 4co]
+
+    offs = np.asarray(_OFFS8)
+    oo = (8 - offs) if reverse else offs          # gather-side offsets
+    accs = []
     for b in range(B):
-        acc = None
-        for o in range(9):
-            oo = 8 - o if reverse else o
-            dy, dx = o // 3, o % 3
-            g = tab[b][tables.nbr_idx[b, oo]].reshape(S, ROWZ, C)
-            # z-correlate the FULL 10-row with the 3 z-taps once:
-            #   Z[:, q] = Σ_dz g[:, q−4+dz] · w[dz]   (q ∈ 0..11)
-            # then the 3-way case select indexes the OUTPUT — Z[:, 4:8]
-            # (case 0: own row), Z[:, 8:12] (case 1: row s−1, window shifts
-            # +4), Z[:, 0:4] (case 2: row s+1, −4) — instead of
-            # materializing per-case [S, 6, C] input windows per offset
-            # (PROFILE.md r2 lever 1).
-            Z = None
-            for dz in range(3):
-                f = jnp.einsum(
-                    "szc,co->szo", g, w[dz, dy, dx],
-                    preferred_element_type=dt,
-                )
-                fp = jnp.pad(f, ((0, 0), (4 - dz, 0), (0, 0)))[:, :12]
-                Z = fp if Z is None else Z + fp
-            c = tables.nbr_case[b, oo][:, None, None]
-            term = jnp.where(
-                c == 0, Z[:, 4:8],
-                jnp.where(c == 1, Z[:, 8:12], Z[:, 0:4]),
-            )
-            acc = term if acc is None else acc + term
-        outs.append(acc)
-    out = jnp.stack(outs)
+        g = tab[b][tables.nbr_idx[b][oo].reshape(-1)].reshape(
+            8 * S, ROWZ, C
+        )
+        win = _extract_subm_window(
+            g, tables.nbr_case[b][oo].reshape(-1), C
+        ).reshape(8, S, 6 * C)
+        accs.append(jnp.einsum("osw,owk->osk", win, W6[offs],
+                               preferred_element_type=dt).sum(0))
+    acc = jnp.stack(accs).reshape(B * S, 4 * co)
+
+    # center offset: own table rows 0:6, case 0 by construction — no gather
+    gc = tab[:, :S].reshape(B, S, ROWZ, C)[:, :, 0:6].reshape(B * S, 6 * C)
+    acc = acc + jnp.einsum("bw,wk->bk", gc, W6[4],
+                           preferred_element_type=dt)
+    out = acc.reshape(B, S, 4, co)
     if bias is not None:
         out = out + bias.astype(dt)
     return jnp.where(occ[..., None], out, 0.0)
@@ -388,34 +435,53 @@ def _subm_fwd(feats, occ, colkey, chunk, valid, weight, bias, tables,
 
 
 def _subm_bwd(dtype_str, res, g):
+    # The backward computes in the FORWARD dtype (bf16 in production, f32 in
+    # the oracle tests) with f32 GEMM accumulation — the hard-coded-f32
+    # version materialized [8·S, 6C] f32 windows per sample (≈600 MB at the
+    # s2 shape), which pushed the b4 train step ~5 GB past HBM (VERDICT r1).
     feats, occ, colkey, chunk, valid, weight, has_bias, tables = res
     B, S, _, C = feats.shape
     co = weight.shape[-1]
-    g = jnp.where(occ[..., None], g, 0.0).astype(jnp.float32)
+    dt = jnp.dtype(dtype_str)
+    g = jnp.where(occ[..., None], g, 0.0).astype(dt)
 
     # d feats: offset-reversed conv of g with W^T:
     #   out[v] = Σ_k W[k] f[v + k − 1]  ⇒  df[u] = Σ_k W[k]^T g[u − k + 1]
     wT = jnp.swapaxes(_w_zyx(weight), 3, 4).reshape(27, co, C)
     dfeats = _subm_impl(
-        g, occ, colkey, chunk, valid, wT.astype(jnp.float32), None, tables,
-        "float32", reverse=True,
+        g, occ, colkey, chunk, valid, wT.astype(dt), None, tables,
+        dtype_str, reverse=True,
     ).astype(feats.dtype)
 
-    # d weight / d bias: regather input windows, contract with g
-    tab = _window_table(feats, occ, colkey, chunk, valid, False, jnp.float32)
-    dw = jnp.zeros((3, 3, 3, C, co), jnp.float32)
+    # d weight / d bias: regather input windows (flat), one batched
+    # outer-product GEMM, then fold the banded [9, 6C, 4co] gradient back
+    # to the 27-tap parameter (the transpose of `_band_weight`)
+    tab = _window_table(feats, occ, colkey, chunk, valid, False, dt)
+    offs = np.asarray(_OFFS8)
+    gf = g.reshape(B, S, 4 * co)
+    dW8 = jnp.zeros((8, 6 * C, 4 * co), jnp.float32)
     for b in range(B):
-        for o in range(9):
-            dy, dx = o // 3, o % 3
-            gr = tab[b][tables.nbr_idx[b, o]].reshape(S, ROWZ, C)
-            win = _extract_subm_window(gr, tables.nbr_case[b, o], C)
-            for dz in range(3):
-                dw = dw.at[dz, dy, dx].add(
-                    jnp.einsum("szc,szo->co", win[:, dz:dz + 4, :], g[b],
+        g8 = tab[b][tables.nbr_idx[b][offs].reshape(-1)].reshape(
+            8 * S, ROWZ, C
+        )
+        win = _extract_subm_window(
+            g8, tables.nbr_case[b][offs].reshape(-1), C
+        ).reshape(8, S, 6 * C)
+        dW8 = dW8 + jnp.einsum("osw,sk->owk", win, gf[b],
                                preferred_element_type=jnp.float32)
-                )
+    gf = gf.reshape(B * S, 4 * co)
+    gc = tab[:, :S].reshape(B, S, ROWZ, C)[:, :, 0:6].reshape(B * S, 6 * C)
+    dWc = jnp.einsum("bw,bk->wk", gc, gf, preferred_element_type=jnp.float32)
+    dW9 = jnp.zeros((9, 6 * C, 4 * co), jnp.float32)
+    dW9 = dW9.at[offs].set(dW8).at[4].set(dWc)
+    dW9 = dW9.reshape(9, 6, C, 4, co)
+    dw = jnp.stack([
+        sum(dW9[:, zi + dz, :, zi, :] for zi in range(4))
+        for dz in range(3)
+    ])  # [3, 9, C, co] z-major
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
-    dbias = jnp.sum(g, axis=(0, 1, 2)).astype(weight.dtype) if has_bias else None
+    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+             .astype(weight.dtype) if has_bias else None)
     return (dfeats, _f0(occ), _f0(colkey), _f0(chunk), _f0(valid), dweight,
             dbias, jax.tree.map(_f0, tables))
 
@@ -464,10 +530,10 @@ def chunked_from_host(
     B, V, C = voxel_feats.shape
     vf = jnp.concatenate(
         [voxel_feats, jnp.zeros((B, 1, C), voxel_feats.dtype)], axis=1
-    )
-    feats = jnp.stack(
-        [vf[b][src0[b].reshape(-1)].reshape(-1, CHUNK, C) for b in range(B)]
-    )
+    ).reshape(B * (V + 1), C)
+    gi = (src0.reshape(B, -1)
+          + (jnp.arange(B, dtype=jnp.int32) * (V + 1))[:, None])
+    feats = vf[gi.reshape(-1)].reshape(B, -1, CHUNK, C)
     valid = ck < hw
     occ = (src0 < V) & valid[..., None]
     return ChunkedSparseTensor(feats, occ, ck, ch, valid)
@@ -623,42 +689,50 @@ def _down2_impl(feats, occ, colkey, chunk, valid, weight, bias, sites,
     S2 = sites.colkey.shape[1]
     co = weight.shape[-1]
     dt = jnp.dtype(dtype_str)
-    w = _w_zyx(weight).astype(dt)
     tab = _window_table(feats, occ, colkey, chunk, valid, True, dt)
     cw = C + 1
-    outs, occs = [], []
-    for b in range(B):
-        acc = jnp.zeros((S2, 4, co), dt)
-        oacc = jnp.zeros((S2, 4), dt)
-        for o in range(9):
-            ky, kx = o // 3, o % 3
-            A = tab[b][sites.nbr_a[b, o]].reshape(S2, ROWZ, cw)
-            Br = tab[b][sites.nbr_b[b, o]].reshape(S2, ROWZ, cw)
-            ca = sites.case_a[b, o][:, None, None]
-            w9 = jnp.where(
-                ca == 0, A[:, 0:9],
-                jnp.where(
-                    ca == 1,
-                    jnp.concatenate([A[:, 4:10], Br[:, 2:5]], axis=1),
-                    jnp.concatenate(
-                        [jnp.zeros_like(A[:, 0:4]), A[:, 0:5]], axis=1
-                    ),
-                ),
-            )  # [S2, 9, cw]
-            for kz in range(3):
-                sl = w9[:, kz:kz + 7:2, :]  # p = 2zi + kz, zi = 0..3
-                acc = acc + jnp.einsum(
-                    "szc,co->szo", sl[..., :C], w[kz, ky, kx],
-                    preferred_element_type=dt,
-                )
-                oacc = jnp.maximum(oacc, sl[..., C])
-        outs.append(acc)
-        occs.append(oacc > 0.5)
-    out = jnp.stack(outs)
-    occ_out = jnp.stack(occs) & sites.valid[..., None]
+    w9, o9 = _down2_windows(tab, sites, B, S2, cw, dt)
+    W9 = _band_weight(_w_zyx(weight).astype(dt), C, co, 9, 2, dt)
+    acc = jnp.einsum("obw,owk->obk", w9, W9,
+                     preferred_element_type=dt).sum(0)
+    out = acc.reshape(B, S2, 4, co)
+    # out-site occupancy: any occupied input at window p ∈ {2zi, 2zi+1, 2zi+2}
+    om = o9.max(0)  # [B·S2, 9]
+    oacc = jnp.stack([om[:, 2 * zi:2 * zi + 3].max(1) for zi in range(4)], 1)
+    occ_out = (oacc > 0.5).reshape(B, S2, 4) & sites.valid[..., None]
     if bias is not None:
         out = out + bias.astype(dt)
     return jnp.where(occ_out[..., None], out, 0.0), occ_out
+
+
+def _down2_windows(tab, sites, B, S2, cw, dt):
+    """Flat-gathered, case-assembled down-conv windows.
+
+    Returns (w9 [9, B·S2, 9·C], o9 [9, B·S2, 9]) — feature windows and the
+    occupancy channel, for window positions p ∈ 0..8 (input z = 8s−1+p)."""
+    C = cw - 1
+    # per-sample gathers: the [S+1, 10·cw] table stays under the ~75 MB
+    # gather-rate cliff (batch-global would be 4x that, ~12 ns/idx)
+    As, Bs = [], []
+    for b in range(B):
+        As.append(tab[b][sites.nbr_a[b].reshape(-1)])
+        Bs.append(tab[b][sites.nbr_b[b].reshape(-1)])
+    A = jnp.stack(As).reshape(B, 9, S2, ROWZ, cw).transpose(1, 0, 2, 3, 4)
+    Br = jnp.stack(Bs).reshape(B, 9, S2, ROWZ, cw).transpose(1, 0, 2, 3, 4)
+    A = A.reshape(9, B * S2, ROWZ, cw)
+    Br = Br.reshape(9, B * S2, ROWZ, cw)
+    ca = sites.case_a.transpose(1, 0, 2).reshape(9, B * S2)[..., None, None]
+    w9 = jnp.where(
+        ca == 0, A[:, :, 0:9],
+        jnp.where(
+            ca == 1,
+            jnp.concatenate([A[:, :, 4:10], Br[:, :, 2:5]], axis=2),
+            jnp.concatenate(
+                [jnp.zeros_like(A[:, :, 0:4]), A[:, :, 0:5]], axis=2
+            ),
+        ),
+    )  # [9, B·S2, 9, cw]
+    return (w9[..., :C].reshape(9, B * S2, 9 * C), w9[..., C])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
@@ -704,12 +778,15 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
     B, S, _, C = feats.shape
     S2 = occ_out.shape[1]
     co = weight.shape[-1]
-    g = jnp.where(occ_out[..., None], g, 0.0).astype(jnp.float32)
-    w = _w_zyx(weight).astype(jnp.float32)
+    # backward computes in the forward dtype (f32 in the oracle tests, bf16
+    # in production) with f32 accumulation — see _subm_bwd
+    dt = jnp.dtype(dtype_str)
+    g = jnp.where(occ_out[..., None], g, 0.0).astype(dt)
+    w = _w_zyx(weight).astype(dt)
     boff = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     gtab = _window_table(g, occ_out, sites.colkey, sites.chunk, sites.valid,
-                         False, jnp.float32)
+                         False, dt)
 
     yc, xc = colkey // W, colkey % W  # per input slot
     spar = chunk % 2
@@ -718,74 +795,64 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
     zk = [(zi, kz) for zi in range(4) for kz in range(3)
           if (zi + 1 - kz) % 2 == 0]
 
-    dfs = []
-    for b in range(B):
-        df = jnp.zeros((S, 4, C), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                if sites.rev is not None:
-                    # host-planned backward resolve (topology_host.py)
-                    rv = sites.rev[b, ky * 3 + kx]
-                    row, case = rv >> 2, rv & 3
-                else:
-                    ny, nx_ = yc[b] + 1 - ky, xc[b] + 1 - kx
-                    ok = (
-                        (ny % 2 == 0) & (nx_ % 2 == 0)
-                        & (ny >= 0) & (ny < 2 * H2)
-                        & (nx_ >= 0) & (nx_ < 2 * W2)
-                        & valid[b]
-                    )
-                    q = jnp.where(ok, (ny // 2) * W2 + (nx_ // 2), H2 * W2)
-                    pack = out_tables.colmap[q + b * (H2 * W2 + 1)]
-                    row, case = _resolve(pack, t[b], nch_out, S2)
-                gr = gtab[b][row].reshape(S, ROWZ, co)
-                # window base: q0(u) = u + 1 (s even) | u + 3 (s odd), then
-                # case1: +4, case2: −4 (negatives are provably-zero reads)
-                for zi, kz in zk:
-                    u = (zi + 1 - kz) // 2
-                    val = jnp.zeros((S, co), jnp.float32)
-                    for par in (0, 1):
-                        q0 = u + 1 + 2 * par
-                        for cs, dq in ((0, 0), (1, 4), (2, -4)):
-                            qq = q0 + dq
-                            if qq < 0 or qq >= ROWZ:
-                                continue
-                            m = (spar[b] == par) & (case == cs) & (row < S2)
-                            val = val + jnp.where(
-                                m[:, None], gr[:, qq, :], 0.0
-                            )
-                    df = df.at[:, zi, :].add(val @ w[kz, ky, kx].T)
-        dfs.append(df)
-    dfeats = jnp.where(occ[..., None], jnp.stack(dfs), 0.0).astype(feats.dtype)
-
-    # d weight / d bias: regather forward windows, contract with g
-    tab = _window_table(feats, occ, colkey, chunk, valid, True, jnp.float32)
-    cw = C + 1
-    dw = jnp.zeros((3, 3, 3, C, co), jnp.float32)
-    for b in range(B):
-        for o in range(9):
-            ky, kx = o // 3, o % 3
-            A = tab[b][sites.nbr_a[b, o]].reshape(S2, ROWZ, cw)
-            Br = tab[b][sites.nbr_b[b, o]].reshape(S2, ROWZ, cw)
-            ca = sites.case_a[b, o][:, None, None]
-            w9 = jnp.where(
-                ca == 0, A[:, 0:9],
-                jnp.where(
-                    ca == 1,
-                    jnp.concatenate([A[:, 4:10], Br[:, 2:5]], axis=1),
-                    jnp.concatenate(
-                        [jnp.zeros_like(A[:, 0:4]), A[:, 0:5]], axis=1
-                    ),
-                ),
+    gtabf = gtab.reshape(B * (S2 + 1), ROWZ * co)
+    boff2 = (jnp.arange(B, dtype=jnp.int32) * (S2 + 1))[:, None]
+    df = jnp.zeros((B * S, 4, C), jnp.float32)
+    wT = jnp.swapaxes(w, 3, 4)  # [kz, ky, kx, co, C]
+    for o in range(9):
+        ky, kx = o // 3, o % 3
+        if sites.rev is not None:
+            # host-planned backward resolve (topology_host.py)
+            rv = sites.rev[:, o]
+            row, case = rv >> 2, rv & 3
+        else:
+            ny, nx_ = yc + 1 - ky, xc + 1 - kx
+            ok = (
+                (ny % 2 == 0) & (nx_ % 2 == 0)
+                & (ny >= 0) & (ny < 2 * H2)
+                & (nx_ >= 0) & (nx_ < 2 * W2)
+                & valid
             )
-            for kz in range(3):
-                sl = w9[:, kz:kz + 7:2, :C]
-                dw = dw.at[kz, ky, kx].add(
-                    jnp.einsum("szc,szo->co", sl, g[b],
-                               preferred_element_type=jnp.float32)
-                )
+            q = jnp.where(ok, (ny // 2) * W2 + (nx_ // 2), H2 * W2)
+            bo = (jnp.arange(B, dtype=jnp.int32) * (H2 * W2 + 1))[:, None]
+            pack = out_tables.colmap[(q + bo).reshape(-1)].reshape(B, S)
+            row, case = _resolve(pack, t, nch_out, S2)
+        gr = gtabf[(row + boff2).reshape(-1)].reshape(B * S, ROWZ, co)
+        # window base: q0(u) = u + 1 (s even) | u + 3 (s odd), then
+        # case1: +4, case2: −4; out-of-range / missed rows read zero
+        dq = jnp.where(case == 0, 0, jnp.where(case == 1, 4, -4))
+        base_q = (1 + 2 * spar + dq).reshape(-1)
+        row_ok = (row < S2).reshape(-1)
+        for zi, kz in zk:
+            u = (zi + 1 - kz) // 2
+            qq = base_q + u
+            okq = (qq >= 0) & (qq < ROWZ) & row_ok
+            qc = jnp.clip(qq, 0, ROWZ - 1)
+            val = jnp.take_along_axis(gr, qc[:, None, None], axis=1)[:, 0]
+            val = jnp.where(okq[:, None], val, 0.0)
+            df = df.at[:, zi, :].add(jnp.einsum(
+                "bo,oc->bc", val, wT[kz, ky, kx],
+                preferred_element_type=jnp.float32,
+            ))
+    dfeats = jnp.where(
+        occ[..., None], df.reshape(B, S, 4, C), 0.0
+    ).astype(feats.dtype)
+
+    # d weight / d bias: regather forward windows (flat), one batched
+    # outer-product GEMM, fold the banded gradient back (stride-2 band)
+    tab = _window_table(feats, occ, colkey, chunk, valid, True, dt)
+    w9f, _o9 = _down2_windows(tab, sites, B, S2, C + 1, dt)
+    gf = g.reshape(B * S2, 4 * co)
+    dW9 = jnp.einsum("obw,bk->owk", w9f, gf,
+                     preferred_element_type=jnp.float32)
+    dW9 = dW9.reshape(9, 9, C, 4, co)
+    dw = jnp.stack([
+        sum(dW9[:, 2 * zi + kz, :, zi, :] for zi in range(4))
+        for kz in range(3)
+    ])  # [3, 9, C, co] z-major
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
-    dbias = jnp.sum(g, axis=(0, 1, 2)).astype(weight.dtype) if has_bias else None
+    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+             .astype(weight.dtype) if has_bias else None)
     return (dfeats, _f0(occ), _f0(colkey), _f0(chunk), _f0(valid), dweight,
             dbias, jax.tree.map(_f0, sites), jax.tree.map(_f0, out_tables))
 
