@@ -196,7 +196,44 @@ def dataclasses_replace_both(s_cfg, t_cfg):
     )
 
 
+def _wait_for_backend(budget_s: float):
+    """The axon relay can be transiently unavailable; probe in a subprocess
+    (a failed in-process init can poison the PJRT client) until it answers
+    or the budget is spent. Returns True when the backend is usable."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jnp.sum(jnp.ones((4,)) + 1)))"
+    )
+    deadline = time.time() + budget_s
+    while time.time() < deadline:
+        left = max(30, min(180, int(deadline - time.time())))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=left,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(15)
+    return False
+
+
 def main():
+    if not _wait_for_backend(min(900.0, TIME_BUDGET_S / 3)):
+        print(json.dumps({
+            "metric": "camera_bev_eval_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (axon relay down past probe budget)",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 

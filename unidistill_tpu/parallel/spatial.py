@@ -12,11 +12,11 @@ The loss-side `pmean` normalizers (losses/det.py) are written against a
 named `dp` axis from `shard_map`; under jit+GSPMD there are no axis names
 and global reductions are already global, so the spatial path exposes
 `eval_step_spatial` (decode/NMS stay replicated per dp shard — their inputs
-are gathered by GSPMD where needed) and `forward_spatial` for feature
-extraction. Training under 2-D meshes composes the same way (constrain
-activations, let GSPMD handle grads) but is out of scope until multi-chip
-hardware is attached; the 8-device CPU test covers the eval/forward path
-end-to-end (tests/test_spatial_sharding.py).
+are gathered by GSPMD where needed), `forward_spatial` for feature
+extraction, and `train_step_spatial` (replicated params + dp-sharded batch:
+XLA's global reductions subsume both the pmean loss normalizers and the
+gradient all-reduce). The 8-device CPU test asserts eval AND train
+equivalence to the replicated path (tests/test_spatial_sharding.py).
 """
 from __future__ import annotations
 
@@ -94,4 +94,37 @@ def eval_step_spatial(state, batch, model, cfg, mesh: Mesh):
         out["multi_head_features"], cfg.proposal, cfg.tasks,
         cfg.point_cloud_range[:2], cfg.voxel_size[:2], cfg.out_size_factor,
         training=False,
+    )
+
+
+def train_step_spatial(state, batch, model, tx, cfg, mesh: Mesh):
+    """Training step with the dense BEV pipeline spatially sharded.
+
+    Under jit+GSPMD there is no named axis: with replicated params and a
+    dp-sharded batch, the loss normalizers' sums and the parameter
+    gradients are ALREADY global reductions (XLA inserts the all-reduces),
+    so this is `train_step` with the model forward routed through the
+    sharding constraints and `axis_name=None`. Equivalence to the
+    replicated step is asserted on the 8-device CPU mesh
+    (tests/test_spatial_sharding.py)."""
+    from unidistill_tpu.training.steps import detector_loss
+    from unidistill_tpu.training.train_state import TrainState
+
+    def loss_fn(params):
+        out, new_stats = forward_spatial(
+            model, {"params": params, "batch_stats": state.batch_stats},
+            batch, cfg, mesh, train=True,
+        )
+        loss, metrics, _ = detector_loss(out, batch, cfg, axis_name=None)
+        return loss, (metrics, new_stats)
+
+    (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    metrics["loss"] = loss
+    return (
+        TrainState(state.step + 1, new_params, new_stats, new_opt),
+        metrics,
     )
