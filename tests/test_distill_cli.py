@@ -109,7 +109,11 @@ def test_run_distill_cli_end_to_end(synth_root8, tmp_path, monkeypatch):
         assert os.path.isdir(os.path.join(out, "ckpt"))
         lines = open(os.path.join(out, "metrics.jsonl")).read().splitlines()
         assert any('"loss"' in ln for ln in lines), lines
-        # per-epoch validation ran and logged a val entry (VERDICT r1 item 5)
-        assert any('"event": "val"' in ln for ln in lines), lines
+        # per-epoch validation ran and logged a REAL val entry — not an
+        # eval_error fallback (a latent predict() crash hid behind the old
+        # broad except and made this assertion pass vacuously, r2)
+        vals = [ln for ln in lines if '"event": "val"' in ln]
+        assert vals, lines
+        assert not any("eval_error" in ln for ln in vals), vals
     finally:
         trainer.close()

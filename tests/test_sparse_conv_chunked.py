@@ -3,6 +3,8 @@ dense-numpy oracles per kernel). Submanifold/strided sparse convs evaluated
 at active sites must equal the dense convolution there, because inactive
 cells are zero. The chunked layout additionally has exact occupancy masks
 and custom VJPs, both checked against the dense formulation."""
+import pytest
+
 import numpy as np
 
 import jax
@@ -135,10 +137,13 @@ def test_subm_conv_matches_dense():
     assert np.abs(got * (1 - mask)).sum() == 0
 
 
-def test_down2_conv_matches_dense():
+@pytest.mark.parametrize("shape", [(9, 10, 12), (10, 10, 12)])
+def test_down2_conv_matches_dense(shape):
+    # (10, ...) covers EVEN input depth: an input voxel at z = D-1 falls in
+    # the receptive field of out z = D2 (outside the grid) and must NOT
+    # activate a phantom site (spconv semantics; regression r2)
     rng = np.random.RandomState(2)
-    shape = (9, 10, 12)
-    out_shape = (5, 5, 6)
+    out_shape = tuple((d + 2 - 3) // 2 + 1 for d in shape)
     feats, coords = _random_voxels(rng, shape, 70, 3, cap=96)
     st = chunked_from_voxels(feats, coords, shape)
     tb = build_chunked_tables(st.colkey, st.chunk, st.valid, shape)

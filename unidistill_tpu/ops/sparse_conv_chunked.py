@@ -570,6 +570,11 @@ def down2_sites(
     nch_in, nch_out = _nch(D), _nch(D2)
     B, S = colkey.shape
     S2 = out_slot_cap
+    # int32 bit-packing limits (fail loudly instead of silently corrupting
+    # gather tables on exotic grids): out chunk index uses 3 bits below
+    # ((ocol_key << 3) | cc) and packed_cb shifts the column key by nch_out
+    assert nch_out <= 8, f"out depth {D2} needs chunk index > 3 bits"
+    assert (H2 * W2 + 1) << max(nch_out, 3) < 2**31, (H2, W2, nch_out)
     boff = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     _, ckey_c, bits_c, _, col_valid = _column_arrays(colkey, chunk, valid,
@@ -678,7 +683,7 @@ def down2_sites(
 
 
 def _down2_impl(feats, occ, colkey, chunk, valid, weight, bias, sites,
-                dtype_str):
+                d_out: int, dtype_str):
     """→ (out [B,S2,4,Cout], occ_out [B,S2,4]).
 
     Window positions p ∈ 0..8 ↔ input z = 8s−1+p. Row A (3-way resolve at
@@ -700,6 +705,11 @@ def _down2_impl(feats, occ, colkey, chunk, valid, weight, bias, sites,
     om = o9.max(0)  # [B·S2, 9]
     oacc = jnp.stack([om[:, 2 * zi:2 * zi + 3].max(1) for zi in range(4)], 1)
     occ_out = (oacc > 0.5).reshape(B, S2, 4) & sites.valid[..., None]
+    # clip chunk-padding sites past the true out depth: for EVEN input
+    # depth an input voxel at z = D-1 falls in the receptive field of
+    # out z = D2 (outside the grid) — spconv never activates it
+    zsite = 4 * sites.chunk[..., None] + jnp.arange(CHUNK, dtype=jnp.int32)
+    occ_out = occ_out & (zsite < d_out)
     if bias is not None:
         out = out + bias.astype(dt)
     return jnp.where(occ_out[..., None], out, 0.0), occ_out
@@ -747,14 +757,14 @@ def down2_conv_chunked(
     skeleton; also reused by the following subm convs) — the VJP gathers
     from the output-grad window table through its colmap."""
     out, occ_out = _down2_impl(feats, occ, colkey, chunk, valid, weight,
-                               bias, sites, dtype_str)
+                               bias, sites, out_spatial_shape[0], dtype_str)
     return out, occ_out
 
 
 def _down2_fwd(feats, occ, colkey, chunk, valid, weight, bias, sites,
                out_tables, spatial_shape, out_spatial_shape, dtype_str):
     out, occ_out = _down2_impl(feats, occ, colkey, chunk, valid, weight,
-                               bias, sites, dtype_str)
+                               bias, sites, out_spatial_shape[0], dtype_str)
     return (out, occ_out), (
         feats, occ, colkey, chunk, valid, weight, bias is not None, sites,
         out_tables, occ_out,

@@ -107,24 +107,13 @@ def train_step_spatial(state, batch, model, tx, cfg, mesh: Mesh):
     sharding constraints and `axis_name=None`. Equivalence to the
     replicated step is asserted on the 8-device CPU mesh
     (tests/test_spatial_sharding.py)."""
-    from unidistill_tpu.training.steps import detector_loss
-    from unidistill_tpu.training.train_state import TrainState
+    from unidistill_tpu.training.steps import train_step
 
-    def loss_fn(params):
-        out, new_stats = forward_spatial(
-            model, {"params": params, "batch_stats": state.batch_stats},
+    def forward_fn(params, batch_stats):
+        return forward_spatial(
+            model, {"params": params, "batch_stats": batch_stats},
             batch, cfg, mesh, train=True,
         )
-        loss, metrics, _ = detector_loss(out, batch, cfg, axis_name=None)
-        return loss, (metrics, new_stats)
 
-    (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-    metrics["loss"] = loss
-    return (
-        TrainState(state.step + 1, new_params, new_stats, new_opt),
-        metrics,
-    )
+    return train_step(state, batch, model, tx, cfg, axis_name=None,
+                      forward_fn=forward_fn)

@@ -136,6 +136,12 @@ class LoadedDetector:
                         f"batch[{k!r}] has shape {got}, expected "
                         f"{tuple(s['shape'])} dtype {s['dtype']}"
                     )
+                got_dt = str(np.asarray(flat[k]).dtype)
+                if got_dt != s["dtype"]:
+                    raise ValueError(
+                        f"batch[{k!r}] has dtype {got_dt}, expected "
+                        f"{s['dtype']} (shape {tuple(s['shape'])})"
+                    )
             # drop keys outside the exported contract (e.g. loader-side
             # topo_* tables or training-only fields): the exported pytree
             # must match exactly

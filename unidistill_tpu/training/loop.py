@@ -305,7 +305,10 @@ class Trainer:
             try:
                 res = self.evaluate(state, val_loader, val_dataset)
                 rec = {"event": "val", "epoch": epoch, **(res or {})}
-            except Exception as e:  # devkit/dataroot absent — fall through
+            except (ImportError, FileNotFoundError) as e:
+                # devkit / data root absent — log and continue training.
+                # Anything else (token misalignment, eval-path bug) must
+                # fail loudly, not turn into 20 epochs of silent no-val.
                 rec = {"event": "val", "epoch": epoch, "eval_error": str(e)}
         else:
             preds = self.predict(state, val_loader)
@@ -326,14 +329,19 @@ class Trainer:
     def predict(self, state: TrainState, loader) -> List[Dict]:
         """Run eval over a loader; returns per-frame prediction dicts with
         padding stripped and labels 0-based (ref …base_exp.py:419-434)."""
-        efn = jax.jit(
-            functools.partial(eval_step, model=self.model, cfg=self.cfg)
-        )
+        # cache the jitted eval fn: a fresh jit(partial(...)) per call would
+        # retrace + recompile the full eval graph every validation epoch
+        efn = getattr(self, "_eval_fn", None)
+        if efn is None:
+            efn = self._eval_fn = jax.jit(
+                functools.partial(eval_step, model=self.model, cfg=self.cfg)
+            )
         multihost = jax.process_count() > 1
         out: List[Dict] = []
         for batch in loader:
             dev_batch = {
-                k: jnp.asarray(v) for k, v in batch.items()
+                # tree.map: "mats" is a nested dict of arrays
+                k: jax.tree.map(jnp.asarray, v) for k, v in batch.items()
                 if k not in ("meta", "gt_boxes_raw")
             }
             rois = jax.device_get(efn(state, dev_batch))

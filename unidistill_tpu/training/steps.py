@@ -109,11 +109,22 @@ def train_step(
     tx,
     cfg: ModelConfig,
     axis_name: Optional[str] = None,
+    forward_fn=None,
 ):
-    """Single-modality (or fusion) detector step (ref …base_exp.py:360-376)."""
+    """Single-modality (or fusion) detector step (ref …base_exp.py:360-376).
+
+    forward_fn(params, batch_stats) -> (out, new_stats): override of the
+    standard forward — used by parallel/spatial.py to route the model
+    through GSPMD sharding constraints without duplicating the
+    grad/optimizer/state tail."""
 
     def loss_fn(params):
-        out, new_stats = forward(model, params, state.batch_stats, batch, cfg, True)
+        if forward_fn is None:
+            out, new_stats = forward(
+                model, params, state.batch_stats, batch, cfg, True
+            )
+        else:
+            out, new_stats = forward_fn(params, state.batch_stats)
         loss, metrics, _ = detector_loss(out, batch, cfg, axis_name)
         return loss, (metrics, new_stats)
 
