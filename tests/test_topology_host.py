@@ -144,3 +144,30 @@ def test_rev_tables_match_colmap_resolve():
                 (topo["rev2"][o] & 3)[hit], np.asarray(case)[hit]
             )
             o += 1
+
+
+def test_native_planner_matches_numpy():
+    """The C++ planner (runtime/topology.cc) must be integer-exact vs the
+    numpy executable spec, across caps-binding and sparse frames."""
+    import pytest
+
+    from unidistill_tpu.data.native import plan_frame_topology_native
+    from unidistill_tpu.data.topology_host import plan_frame_topology_numpy
+    from unidistill_tpu.data.voxelize_host import voxelize_frame
+    from unidistill_tpu.configs.nuscenes import tiny_model
+
+    cfg = tiny_model(with_lidar=True, with_camera=False)
+    caps = cfg.lidar_encoder.stage_voxel_caps
+    rng = np.random.RandomState(7)
+    for n in (3000, 200, 4096):
+        pts = np.zeros((n, 5), np.float32)
+        pts[:, 0:2] = rng.uniform(-52, 52, (n, 2))
+        pts[:, 2] = rng.uniform(-4.5, 2.5, n)
+        _, vc = voxelize_frame(pts, np.ones(n, bool), cfg, True)
+        got = plan_frame_topology_native(vc, cfg.grid_size, caps)
+        if got is None:
+            pytest.skip("libpointprep.so not built")
+        ref = plan_frame_topology_numpy(vc, cfg.grid_size, caps)
+        assert set(got) == set(ref)
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=k)

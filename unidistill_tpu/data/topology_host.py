@@ -253,7 +253,26 @@ def plan_frame_topology(
     grid_size,
     stage_caps,               # cfg.lidar_encoder.stage_voxel_caps
 ) -> Dict[str, np.ndarray]:
-    """One frame's full chunked-encoder topology (stages s0, s2, s3)."""
+    """One frame's full chunked-encoder topology (stages s0, s2, s3).
+
+    Dispatches to the C++ planner (runtime/topology.cc, ~20x faster) when
+    the shared library is built; the numpy implementation below is the
+    executable spec and fallback. Integer-exact equivalence is asserted in
+    tests/test_topology_host.py."""
+    from unidistill_tpu.data import native
+
+    out = native.plan_frame_topology_native(coords, grid_size, stage_caps)
+    if out is not None:
+        return out
+    return plan_frame_topology_numpy(coords, grid_size, stage_caps)
+
+
+def plan_frame_topology_numpy(
+    coords: np.ndarray,
+    grid_size,
+    stage_caps,
+) -> Dict[str, np.ndarray]:
+    """Pure-numpy planner (the executable spec for the C++ version)."""
     s0, s2, s3 = _stage_shapes(grid_size)
     V = coords.shape[0]
     S0 = V
