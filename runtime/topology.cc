@@ -14,6 +14,7 @@
 // tests/test_topology_host.py::test_native_planner_matches_numpy.
 #include <algorithm>
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -313,6 +314,69 @@ int32_t plan_frame_topology_native(
   std::memcpy(ck3, s3.colkey.data(), (size_t)S3 * 4);
   std::memcpy(ch3, s3.chunk.data(), (size_t)S3 * 4);
   return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Host voxelization + mean VFE (spconv PointToVoxel + MeanVFE semantics,
+// xy-major key-sorted output) — C++ version of
+// unidistill_tpu/data/voxelize_host.voxelize_mean_sorted. coords rows are
+// (z, y, x) with -1 padding. Returns the voxel count.
+int64_t voxelize_mean_sorted_native(
+    const float* points, int64_t N, int64_t C,
+    const float* pc_range /* [6] */, const float* voxel_size /* [3] */,
+    int64_t nx, int64_t ny, int64_t nz,
+    int64_t max_voxels, int64_t max_points_per_voxel,
+    float* feats /* [max_voxels, C] zeroed by callee */,
+    int32_t* coords /* [max_voxels, 3] */) {
+  std::fill(feats, feats + max_voxels * C, 0.0f);
+  std::fill(coords, coords + max_voxels * 3, -1);
+
+  struct Entry {
+    int64_t key;
+    int32_t idx;
+  };
+  std::vector<Entry> ent;
+  ent.reserve((size_t)N);
+  for (int64_t i = 0; i < N; ++i) {
+    const float* p = points + i * C;
+    int64_t vx = (int64_t)std::floor((p[0] - pc_range[0]) / voxel_size[0]);
+    int64_t vy = (int64_t)std::floor((p[1] - pc_range[1]) / voxel_size[1]);
+    int64_t vz = (int64_t)std::floor((p[2] - pc_range[2]) / voxel_size[2]);
+    if (vx < 0 || vx >= nx || vy < 0 || vy >= ny || vz < 0 || vz >= nz)
+      continue;
+    ent.push_back({(vy * nx + vx) * nz + vz, (int32_t)i});
+  }
+  std::stable_sort(ent.begin(), ent.end(),
+                   [](const Entry& a, const Entry& b) { return a.key < b.key; });
+
+  int64_t nv = 0;
+  size_t i = 0;
+  std::vector<double> acc((size_t)C);
+  while (i < ent.size() && nv < max_voxels) {
+    int64_t key = ent[i].key;
+    std::fill(acc.begin(), acc.end(), 0.0);
+    int64_t n = 0;
+    size_t j = i;
+    while (j < ent.size() && ent[j].key == key) {
+      if (n < max_points_per_voxel) {
+        const float* p = points + (int64_t)ent[j].idx * C;
+        for (int64_t c = 0; c < C; ++c) acc[c] += p[c];
+        ++n;
+      }
+      ++j;
+    }
+    float* f = feats + nv * C;
+    for (int64_t c = 0; c < C; ++c) f[c] = (float)(acc[c] / (double)n);
+    coords[nv * 3 + 0] = (int32_t)(key % nz);
+    coords[nv * 3 + 1] = (int32_t)(key / nz / nx);
+    coords[nv * 3 + 2] = (int32_t)(key / nz % nx);
+    ++nv;
+    i = j;
+  }
+  return nv;
 }
 
 }  // extern "C"

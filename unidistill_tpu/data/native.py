@@ -71,6 +71,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_frame_topology_native.argtypes = (
             [i32p, ctypes.c_int64] + [ctypes.c_int32] * 5 + [i32p] * 16
         )
+    if hasattr(lib, "voxelize_mean_sorted_native"):
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.voxelize_mean_sorted_native.restype = ctypes.c_int64
+        lib.voxelize_mean_sorted_native.argtypes = (
+            [fp, ctypes.c_int64, ctypes.c_int64, fp, fp]
+            + [ctypes.c_int64] * 5
+            + [fp, ctypes.POINTER(ctypes.c_int32)]
+        )
     _LIB = lib
     return lib
 
@@ -210,6 +218,30 @@ class HostVoxelizer:
                 voxels[v, npts[v]] = points[i]
                 npts[v] += 1
         return voxels[:nv], coords[:nv], npts[:nv]
+
+
+def voxelize_mean_sorted_native(
+    points: np.ndarray, pc_range, voxel_size, grid_size,
+    max_voxels: int, max_points_per_voxel: int,
+):
+    """C++ voxelize + mean VFE (runtime/topology.cc); same contract as
+    voxelize_host.voxelize_mean_sorted. None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "voxelize_mean_sorted_native"):
+        return None
+    points = np.ascontiguousarray(points, np.float32)
+    C = points.shape[1]
+    nx, ny, nz = (int(g) for g in grid_size)
+    feats = np.empty((max_voxels, C), np.float32)
+    coords = np.empty((max_voxels, 3), np.int32)
+    pcr = np.ascontiguousarray(pc_range, np.float32)
+    vsz = np.ascontiguousarray(voxel_size, np.float32)
+    lib.voxelize_mean_sorted_native(
+        _fptr(points), points.shape[0], C, _fptr(pcr), _fptr(vsz),
+        nx, ny, nz, max_voxels, max_points_per_voxel,
+        _fptr(feats), coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return feats, coords
 
 
 def plan_frame_topology_native(coords: np.ndarray, grid_size, stage_caps):

@@ -30,7 +30,19 @@ def voxelize_mean_sorted(
 ):
     """→ (feats [V, C] mean per voxel, coords [V, 3] (z,y,x), xy-major
     key-sorted with -1/-0 padding) — bitwise-compatible with
-    `ops.voxelize.voxelize` on the same input."""
+    `ops.voxelize.voxelize` on the same input.
+
+    Dispatches to the C++ kernel (runtime/topology.cc) when built — the
+    numpy path below is the executable spec and fallback (equivalence
+    tested in tests/test_voxelize_host.py)."""
+    from unidistill_tpu.data import native
+
+    nat = native.voxelize_mean_sorted_native(
+        points, point_cloud_range, voxel_size, grid_size,
+        max_voxels, max_points_per_voxel,
+    )
+    if nat is not None:
+        return nat
     nx, ny, nz = grid_size
     pcr = np.asarray(point_cloud_range, np.float32)
     vsz = np.asarray(voxel_size, np.float32)
