@@ -361,6 +361,21 @@ def _w_zyx(weight: jnp.ndarray):
 _OFFS8 = tuple(o for o in range(9) if o != 4)  # non-center xy offsets
 
 
+def _use_case_view(S: int, C: int) -> bool:
+    """Select-free subm path: gather from the 3-view case-resolved table
+    (`_case_view`, idx = 3·row + case) instead of post-gather selects.
+    Trades a 1.8× bigger table build for no [8S,10,C] select pass. Only
+    pays when the per-sample 3-view table stays under the measured ~75 MB
+    gather-rate cliff ((S+1)·18·C·2 bytes — true for C=16 at nuScenes S).
+    UNIDISTILL_SUBM_CASE_VIEW=0/1 overrides (perf experiments)."""
+    import os
+
+    env = os.environ.get("UNIDISTILL_SUBM_CASE_VIEW", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return (S + 1) * 18 * C * 2 < 70 * 2**20
+
+
 def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
                tables: ChunkedTables, dtype_str, reverse: bool = False):
     """feats [B,S,4,Cin] → occ-masked [B,S,4,Cout].
@@ -395,14 +410,22 @@ def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
 
     offs = np.asarray(_OFFS8)
     oo = (8 - offs) if reverse else offs          # gather-side offsets
+    case_view = _use_case_view(S, C)
+    tabv = _case_view(tab, B, C).reshape(B, (S + 1) * 3, 6 * C) \
+        if case_view else None
     accs = []
     for b in range(B):
-        g = tab[b][tables.nbr_idx[b][oo].reshape(-1)].reshape(
-            8 * S, ROWZ, C
-        )
-        win = _extract_subm_window(
-            g, tables.nbr_case[b][oo].reshape(-1), C
-        ).reshape(8, S, 6 * C)
+        if case_view:
+            i3 = (tables.nbr_idx[b][oo] * 3
+                  + tables.nbr_case[b][oo]).reshape(-1)
+            win = tabv[b][i3].reshape(8, S, 6 * C)
+        else:
+            g = tab[b][tables.nbr_idx[b][oo].reshape(-1)].reshape(
+                8 * S, ROWZ, C
+            )
+            win = _extract_subm_window(
+                g, tables.nbr_case[b][oo].reshape(-1), C
+            ).reshape(8, S, 6 * C)
         accs.append(jnp.einsum("osw,owk->osk", win, W6[offs],
                                preferred_element_type=dt).sum(0))
     acc = jnp.stack(accs).reshape(B * S, 4 * co)
