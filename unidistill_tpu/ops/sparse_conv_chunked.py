@@ -365,15 +365,18 @@ def _use_case_view(S: int, C: int) -> bool:
     """Select-free subm path: gather from the 3-view case-resolved table
     (`_case_view`, idx = 3·row + case) instead of post-gather selects.
     Trades a 1.8× bigger table build for no [8S,10,C] select pass. Only
-    pays when the per-sample 3-view table stays under the measured ~75 MB
-    gather-rate cliff ((S+1)·18·C·2 bytes — true for C=16 at nuScenes S).
+    pays when the per-sample 3-view table stays well under the measured
+    ~75 MB gather-rate cliff ((S+1)·18·C·2 bytes). The auto threshold is
+    conservative (48 MB): the production s0 table lands at 69 MB — cliff-
+    adjacent and unmeasured — so it stays on the select path until the
+    A/B (experiments/mb_subm_ab.py) says otherwise.
     UNIDISTILL_SUBM_CASE_VIEW=0/1 overrides (perf experiments)."""
     import os
 
     env = os.environ.get("UNIDISTILL_SUBM_CASE_VIEW", "auto")
     if env in ("0", "1"):
         return env == "1"
-    return (S + 1) * 18 * C * 2 < 70 * 2**20
+    return (S + 1) * 18 * C * 2 < 48 * 2**20
 
 
 def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
