@@ -116,3 +116,49 @@ def test_mesh_2d_shape_guard():
 
     with pytest.raises(AssertionError):
         make_mesh_2d(dp=4, bev=4)  # only 8 virtual devices available
+
+
+def test_spatial_distill_matches_replicated():
+    import dataclasses
+
+    from unidistill_tpu.configs.nuscenes import DISTILL_VARIANTS
+    from unidistill_tpu.parallel.spatial import distill_train_step_spatial
+    from unidistill_tpu.training.steps import distill_train_step
+
+    # f32 compute for structural equivalence (see the train test)
+    s_cfg = dataclasses.replace(
+        tiny_model(with_lidar=False, with_camera=True),
+        compute_dtype="float32")
+    t_cfg = dataclasses.replace(
+        tiny_model(with_lidar=True, with_camera=False),
+        compute_dtype="float32")
+    both = dataclasses.replace(s_cfg, with_lidar=True, with_camera=True)
+    dcfg = DISTILL_VARIANTS[("lidar", "camera")]
+    batch = jax.tree.map(jnp.asarray, _synth_batch(both, 4, training=True))
+
+    student = BEVFusionCenterHead(s_cfg)
+    teacher = BEVFusionCenterHead(t_cfg)
+    kw_s = model_inputs(jax.tree.map(lambda x: x[:1], batch), s_cfg, training=True)
+    kw_t = model_inputs(jax.tree.map(lambda x: x[:1], batch), t_cfg, training=False)
+    sv = student.init(jax.random.PRNGKey(0), **kw_s, train=True)
+    tv = teacher.init(jax.random.PRNGKey(1), **kw_t, train=False)
+    tx = make_optimizer(1e-3, 1e-7, 0.1)
+    state = create_train_state(sv, tx)
+    t_params, t_stats = tv["params"], tv.get("batch_stats", {})
+
+    _, m_ref = jax.jit(lambda s, b: distill_train_step(
+        s, t_params, t_stats, b, student_model=student, teacher_model=teacher,
+        tx=tx, student_cfg=s_cfg, teacher_cfg=t_cfg, dcfg=dcfg,
+    ))(state, batch)
+
+    mesh = make_mesh_2d(dp=2, bev=4)
+    _, m_sp = jax.jit(lambda s, b: distill_train_step_spatial(
+        s, t_params, t_stats, b, student, teacher, tx, s_cfg, t_cfg, dcfg,
+        mesh,
+    ))(state, batch)
+
+    for k in ("loss", "loss_feature", "loss_bev_rel", "loss_resp_cls",
+              "loss_resp_reg", "loss_det"):
+        np.testing.assert_allclose(
+            float(m_sp[k]), float(m_ref[k]), rtol=5e-3, atol=1e-5, err_msg=k
+        )

@@ -117,3 +117,31 @@ def train_step_spatial(state, batch, model, tx, cfg, mesh: Mesh):
 
     return train_step(state, batch, model, tx, cfg, axis_name=None,
                       forward_fn=forward_fn)
+
+
+def distill_train_step_spatial(state, teacher_params, teacher_stats, batch,
+                               student_model, teacher_model, tx,
+                               student_cfg, teacher_cfg, dcfg, mesh: Mesh):
+    """Distillation step with BOTH forwards spatially sharded — the repo's
+    headline workload under the (dp, bev) mesh; same GSPMD reasoning as
+    `train_step_spatial` (the distill losses' pmean normalizers become
+    ordinary global reductions)."""
+    from unidistill_tpu.training.steps import distill_train_step
+
+    def student_fn(params, batch_stats):
+        return forward_spatial(
+            student_model, {"params": params, "batch_stats": batch_stats},
+            batch, student_cfg, mesh, train=True,
+        )
+
+    def teacher_fn(params, batch_stats):
+        return forward_spatial(
+            teacher_model, {"params": params, "batch_stats": batch_stats},
+            batch, teacher_cfg, mesh, train=False,
+        )
+
+    return distill_train_step(
+        state, teacher_params, teacher_stats, batch, student_model,
+        teacher_model, tx, student_cfg, teacher_cfg, dcfg, axis_name=None,
+        student_forward_fn=student_fn, teacher_forward_fn=teacher_fn,
+    )

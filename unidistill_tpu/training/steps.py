@@ -155,11 +155,17 @@ def distill_train_step(
     teacher_cfg: ModelConfig,
     dcfg: DistillConfig,
     axis_name: Optional[str] = None,
+    student_forward_fn=None,
+    teacher_forward_fn=None,
 ):
     """Teacher→student distillation step (ref …camera_exp_distill_lidar.py:438-513).
 
     total = det + w_feat·feature + w_rel·bev_rel + w_resp·(resp_cls + resp_reg).
     Teacher runs frozen in eval mode inside the same jit.
+
+    student_forward_fn(params, batch_stats) / teacher_forward_fn(): forward
+    overrides used by parallel/spatial.py to add GSPMD sharding constraints
+    (same contract as train_step's forward_fn).
     """
     gt = batch["gt_boxes"]
     gt_mask = jnp.abs(gt).sum(-1) > 0  # [B, G]
@@ -168,15 +174,23 @@ def distill_train_step(
         student_cfg.out_size_factor,
     )
 
-    t_out, _ = forward(
-        teacher_model, teacher_params, teacher_stats, batch, teacher_cfg, False
-    )
+    if teacher_forward_fn is None:
+        t_out, _ = forward(
+            teacher_model, teacher_params, teacher_stats, batch, teacher_cfg,
+            False,
+        )
+    else:
+        t_out, _ = teacher_forward_fn(teacher_params, teacher_stats)
     t_out = jax.lax.stop_gradient(t_out)
 
     def loss_fn(params):
-        out, new_stats = forward(
-            student_model, params, state.batch_stats, batch, student_cfg, True
-        )
+        if student_forward_fn is None:
+            out, new_stats = forward(
+                student_model, params, state.batch_stats, batch, student_cfg,
+                True,
+            )
+        else:
+            out, new_stats = student_forward_fn(params, state.batch_stats)
         det_loss, metrics, preds_sig = detector_loss(
             out, batch, student_cfg, axis_name
         )
