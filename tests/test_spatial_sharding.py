@@ -162,3 +162,32 @@ def test_spatial_distill_matches_replicated():
         np.testing.assert_allclose(
             float(m_sp[k]), float(m_ref[k]), rtol=5e-3, atol=1e-5, err_msg=k
         )
+
+
+def test_trainer_spatial_bev_knob(tmp_path):
+    """train.spatial_bev=2 routes the Trainer's compiled step through the
+    (dp, bev) GSPMD path; one step runs and produces finite loss."""
+    import dataclasses
+
+    from unidistill_tpu.configs.nuscenes import ExpConfig, TrainConfig
+    from unidistill_tpu.training.loop import Trainer
+
+    cfg = dataclasses.replace(tiny_model(), compute_dtype="float32")
+    exp = ExpConfig(
+        exp_name="spatial_knob_test", model=cfg,
+        train=TrainConfig(spatial_bev=2),
+    )
+    tr = Trainer(exp, output_dir=str(tmp_path))
+    try:
+        assert tr.spatial_mesh is not None
+        assert tr.spatial_mesh.devices.shape == (4, 2)  # 8 CPU devs / bev=2
+        batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, 4, training=True))
+        state = tr.init_state(
+            jax.tree.map(np.asarray, batch), steps_per_epoch=1
+        )
+        step = tr._compile_train_step()
+        new_state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1
+    finally:
+        tr.close()

@@ -319,6 +319,12 @@ class TrainConfig:
     # reference declares this knob but never wires it (…base_exp.py:290);
     # default off to match its effective behavior.
     lr_scale_factor: Optional[Tuple[Tuple[str, float], ...]] = None
+    # BEV spatial sharding degree (parallel/spatial.py; no reference
+    # analog): >1 partitions the dense BEV pipeline over a (dp, bev) GSPMD
+    # mesh — devices are split as dp = n_devices // spatial_bev. 1 = pure
+    # DP shard_map (the default). Set via
+    # `--exp_options train.spatial_bev=2`.
+    spatial_bev: int = 1
 
 
 @dataclass(frozen=True)

@@ -97,7 +97,19 @@ class Trainer:
     ):
         self.exp_cfg = exp_cfg
         self.cfg = model_cfg or exp_cfg.model
-        self.mesh = make_mesh(devices)
+        sb = getattr(exp_cfg.train, "spatial_bev", 1)
+        if sb > 1:
+            # (dp, bev) GSPMD mesh: the dense BEV pipeline is partitioned
+            # over `bev`; steps run through parallel/spatial.py
+            from unidistill_tpu.parallel.spatial import make_mesh_2d
+
+            devs = list(devices if devices is not None else jax.devices())
+            self.spatial_mesh = make_mesh_2d(max(len(devs) // sb, 1), sb,
+                                             devs)
+            self.mesh = make_mesh(devices, dp=max(len(devs) // sb, 1))
+        else:
+            self.spatial_mesh = None
+            self.mesh = make_mesh(devices)
         self.n_dev = self.mesh.devices.size
         self.model = BEVFusionCenterHead(self.cfg)
         self.output_dir = output_dir or exp_output_dir(exp_cfg.exp_name)
@@ -139,6 +151,8 @@ class Trainer:
         return create_train_state(variables, self.tx)
 
     def _compile_train_step(self, distill_ctx=None):
+        if self.spatial_mesh is not None:
+            return self._compile_train_step_spatial(distill_ctx)
         if distill_ctx is None:
             fn = functools.partial(
                 train_step, model=self.model, tx=self.tx, cfg=self.cfg,
@@ -168,6 +182,41 @@ class Trainer:
                 check_vma=False,
             ),
             donate_argnums=(0,),
+        )
+
+    def _compile_train_step_spatial(self, distill_ctx=None):
+        """(dp, bev) GSPMD variant: plain jit with the batch dp-sharded and
+        params replicated — no shard_map, no named axis; the spatial steps
+        (parallel/spatial.py) add the BEV sharding constraints and XLA's
+        global reductions subsume the pmean normalizers + grad all-reduce."""
+        from jax.sharding import NamedSharding
+        from unidistill_tpu.parallel.spatial import (
+            DP_AXIS as SP_DP,
+            distill_train_step_spatial,
+            train_step_spatial,
+        )
+
+        mesh = self.spatial_mesh
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(SP_DP))
+        if distill_ctx is None:
+            fn = functools.partial(
+                train_step_spatial, model=self.model, tx=self.tx,
+                cfg=self.cfg, mesh=mesh,
+            )
+            return jax.jit(
+                fn, in_shardings=(repl, bsh), donate_argnums=(0,)
+            )
+        t_model, t_cfg, dcfg = distill_ctx
+
+        def fn(state, t_params, t_stats, batch):
+            return distill_train_step_spatial(
+                state, t_params, t_stats, batch, self.model, t_model,
+                self.tx, self.cfg, t_cfg, dcfg, mesh,
+            )
+
+        return jax.jit(
+            fn, in_shardings=(repl, repl, repl, bsh), donate_argnums=(0,)
         )
 
     def close(self):
