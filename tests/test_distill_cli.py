@@ -117,3 +117,39 @@ def test_run_distill_cli_end_to_end(synth_root8, tmp_path, monkeypatch):
         assert not any("eval_error" in ln for ln in vals), vals
     finally:
         trainer.close()
+
+
+def test_predict_cli_dumps_submission_and_boxes(synth_root8, tmp_path,
+                                                monkeypatch):
+    """`-p`: writes nuscenes_results.json AND boxes.pkl (ref
+    nuscenes_multimodal.py:395-415 dump_inference_results parity)."""
+    import json
+    import pickle
+
+    from unidistill_tpu.exps.base_cli import run_cli
+
+    monkeypatch.chdir(tmp_path)
+    # the synthetic fixture ships train/val infos; -p reads the test split
+    import shutil
+
+    test_info = os.path.join(synth_root8, "test_info.pkl")
+    if not os.path.exists(test_info):
+        shutil.copy(os.path.join(synth_root8, "val_info.pkl"), test_info)
+    exp = _tiny_exp(synth_root8, True, False, "tiny_lidar_p")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["exp.py", "-p", "-b", "1", "--num_workers", "0",
+         "--data_root", synth_root8],
+    )
+    trainer = run_cli(exp)
+    try:
+        sub = os.path.join(trainer.output_dir, "nuscenes_submission")
+        with open(os.path.join(sub, "nuscenes_results.json")) as f:
+            res = json.load(f)
+        assert "results" in res and "meta" in res
+        with open(os.path.join(sub, "boxes.pkl"), "rb") as f:
+            preds = pickle.load(f)
+        assert len(preds) == N_FRAMES
+        assert all("scores" in p and "boxes" in p for p in preds)
+    finally:
+        trainer.close()
