@@ -39,12 +39,25 @@ pytestmark = pytest.mark.slow
 
 N_STEPS = 220
 CENTERS = [(-15.0, -10.0), (12.0, 8.0), (20.0, -18.0), (-20.0, 16.0)]
+# hardened gate (VERDICT r2 next-round §3): multi-task classes, rotated
+# boxes, nonzero velocities — (cx, cy, yaw, vx, vy, class_id). Classes span
+# tasks 0 (car=1), 3 (barrier=6), 5 (pedestrian=9): a cross-task wiring bug,
+# a rotation-decode sign error, or a velocity-channel swap all fail here.
+SCENE2 = [
+    (-15.0, -10.0, 0.8, 1.5, -1.0, 1),
+    (12.0, 8.0, -2.2, -0.5, 2.0, 6),
+    (20.0, -18.0, 2.6, 0.0, 0.0, 9),
+    (-20.0, 16.0, -0.4, 2.0, 1.0, 1),
+]
 
 
-def _scene_batch(cfg, B=1, seed=0, clutter=300):
-    """Frames with planted boxes; LiDAR points sampled ON the boxes plus a
-    light ground-plane clutter, so the detector can (only) learn the real
-    pattern."""
+def _scene_batch(cfg, B=1, seed=0, clutter=300, scene=None):
+    """Frames with planted boxes; LiDAR points sampled ON the (rotated)
+    boxes plus a light ground-plane clutter, so the detector can (only)
+    learn the real pattern. `scene`: list of (cx, cy, yaw, vx, vy, cls);
+    defaults to the legacy axis-aligned single-class layout."""
+    if scene is None:
+        scene = [(cx, cy, 0.0, 0.0, 0.0, 1) for cx, cy in CENTERS]
     rng = np.random.RandomState(seed)
     P = cfg.caps.max_points
     G = cfg.caps.max_gt_boxes
@@ -56,14 +69,18 @@ def _scene_batch(cfg, B=1, seed=0, clutter=300):
         pts[b, k:k + clutter, 0:2] = rng.uniform(-45, 45, (clutter, 2))
         pts[b, k:k + clutter, 2] = rng.uniform(-2.0, -1.8, clutter)
         k += clutter
-        for gi, (cx, cy) in enumerate(CENTERS):
+        for gi, (cx, cy, yaw, vx, vy, cls) in enumerate(scene):
             w, l, h = 4.0, 6.0, 2.0
             npb = 250
-            pts[b, k:k + npb, 0] = cx + rng.uniform(-l / 2, l / 2, npb)
-            pts[b, k:k + npb, 1] = cy + rng.uniform(-w / 2, w / 2, npb)
+            # sample in the box frame, rotate by yaw, translate to center
+            lx = rng.uniform(-l / 2, l / 2, npb)
+            ly = rng.uniform(-w / 2, w / 2, npb)
+            c, s = np.cos(yaw), np.sin(yaw)
+            pts[b, k:k + npb, 0] = cx + c * lx - s * ly
+            pts[b, k:k + npb, 1] = cy + s * lx + c * ly
             pts[b, k:k + npb, 2] = rng.uniform(-1.5, 0.5, npb)
             k += npb
-            gt[b, gi] = [cx, cy, -0.5, l, w, h, 0.0, 0.0, 0.0, 1.0]  # class 1
+            gt[b, gi] = [cx, cy, -0.5, l, w, h, yaw, vx, vy, cls]
         pts[b, :k, 3] = 128.0
         mask[b, :k] = True
     vfs, vcs = zip(*(voxelize_frame(pts[b], mask[b], cfg, True) for b in range(B)))
@@ -104,9 +121,31 @@ def _scene_batch(cfg, B=1, seed=0, clutter=300):
     return out
 
 
+# second frame: different layout/rotations/velocities so B=2 actually
+# exercises batched assignment, not two copies of one frame
+SCENE2B = [
+    (-18.0, 12.0, 1.9, -1.0, 0.5, 1),
+    (15.0, -14.0, -0.9, 0.0, 0.0, 6),
+    (-10.0, -20.0, 0.3, 1.0, 1.5, 9),
+    (22.0, 18.0, -2.8, 0.0, 0.0, 1),
+]
+
+
+def _ang_diff(a, b):
+    return np.abs(np.arctan2(np.sin(a - b), np.cos(a - b)))
+
+
 def test_lidar_overfit_recovers_planted_boxes():
+    """Hardened gate: B=2 frames, classes across tasks 0/3/5, rotated boxes,
+    nonzero velocities. Decoded label / yaw / velocity must match the
+    planted GT, not just the BEV center."""
     cfg = tiny_model(with_lidar=True, with_camera=False)
-    batch = jax.tree.map(jnp.asarray, _scene_batch(cfg))
+    scenes = [SCENE2, SCENE2B]
+    b0 = _scene_batch(cfg, B=1, seed=0, scene=SCENE2)
+    b1 = _scene_batch(cfg, B=1, seed=1, scene=SCENE2B)
+    batch = jax.tree.map(
+        lambda a, b: jnp.asarray(np.concatenate([a, b], axis=0)), b0, b1
+    )
     model = BEVFusionCenterHead(cfg)
     kw = model_inputs(jax.tree.map(lambda x: x[:1], batch), cfg, training=True)
     variables = model.init(jax.random.PRNGKey(0), **kw, train=True)
@@ -114,18 +153,23 @@ def test_lidar_overfit_recovers_planted_boxes():
     state = create_train_state(variables, tx)
 
     step = jax.jit(functools.partial(train_step, model=model, cfg=cfg, tx=tx))
+    used_tasks = (0, 3, 5)  # car / barrier / pedestrian task groups
+    keys = [f"task_{t}/{n}_loss" for t in used_tasks for n in ("hm", "loc")]
     first = None
     for i in range(N_STEPS):
         state, metrics = step(state, batch)
         if i == 0:
-            first = {k: float(metrics[k])
-                     for k in ("task_0/hm_loss", "task_0/loc_loss")}
+            first = {k: float(metrics[k]) for k in keys}
     last = {k: float(metrics[k]) for k in first}
     assert np.isfinite(list(last.values())).all(), last
-    # the detection components must collapse on a memorized scene (the
-    # TOTAL loss would not: AWL log-sigma terms dominate it — docstring)
-    assert last["task_0/loc_loss"] < 0.25 * first["task_0/loc_loss"], (first, last)
-    assert last["task_0/hm_loss"] < 0.5 * first["task_0/hm_loss"], (first, last)
+    # every POPULATED task's detection components must collapse on a
+    # memorized scene (the TOTAL loss would not: AWL log-sigma terms
+    # dominate it — docstring)
+    for t in used_tasks:
+        assert last[f"task_{t}/loc_loss"] < 0.3 * first[f"task_{t}/loc_loss"], (
+            t, first, last)
+        assert last[f"task_{t}/hm_loss"] < 0.5 * first[f"task_{t}/hm_loss"], (
+            t, first, last)
 
     # BatchNorm running stats trail the batch statistics by exp(-steps/100)
     # at the reference-parity momentum (0.99 JAX-style ≡ torch 0.01) — at a
@@ -146,22 +190,157 @@ def test_lidar_overfit_recovers_planted_boxes():
     res = jax.jit(functools.partial(eval_step, model=model, cfg=cfg))(
         state, batch
     )
-    boxes = np.asarray(res["boxes"])   # [B, K, 9+]
+    boxes = np.asarray(res["boxes"])   # [B, K, 9]
     scores = np.asarray(res["scores"])
+    labels = np.asarray(res["labels"])
     # top-16: at this scale the k-NN-plateau assigner leaves ghost peaks at
     # unsupervised anchors that can outrank true centers for a few hundred
     # steps (measured, experiments log r2) — the gate checks the true boxes
     # are DETECTED with solid scores, not that ghosts are already suppressed
-    hits = 0
-    for b in range(boxes.shape[0]):
+    hits = attr_hits = 0
+    for b, scene in enumerate(scenes):
         top = np.argsort(-scores[b])[:16]
-        for cx, cy in CENTERS:
+        for cx, cy, yaw, vx, vy, cls in scene:
             d = np.hypot(boxes[b, top, 0] - cx, boxes[b, top, 1] - cy)
             sc = scores[b, top]
-            if np.any((d < 5.4) & (sc > 0.3)):  # half an output cell
-                hits += 1
-    n = boxes.shape[0] * len(CENTERS)
+            cand = (d < 5.4) & (sc > 0.3)  # half an output cell
+            if not np.any(cand):
+                continue
+            hits += 1
+            # best-scoring matched candidate must carry the right class,
+            # orientation, and velocity — catches rotation-decode sign
+            # errors, velocity-channel swaps, and cross-task label wiring
+            j = top[cand][np.argmax(sc[cand])]
+            ok = (
+                labels[b, j] == cls
+                and _ang_diff(boxes[b, j, 6], yaw) < 0.45
+                and abs(boxes[b, j, 7] - vx) < 0.8
+                and abs(boxes[b, j, 8] - vy) < 0.8
+            )
+            attr_hits += int(ok)
+    n = sum(len(s) for s in scenes)
     assert hits >= 3 * n // 4, f"only {hits}/{n} planted boxes recovered"
+    assert attr_hits >= 3 * hits // 4, (
+        f"only {attr_hits}/{hits} recovered boxes have correct "
+        "class/yaw/velocity"
+    )
+
+
+def _random_scene(rng, n_boxes=4):
+    """Generalizable pattern: boxes at random well-separated centers with
+    random yaw/class — a model that learns 'boxes are where point clusters
+    are' transfers to unseen layouts."""
+    centers = []
+    while len(centers) < n_boxes:
+        c = rng.uniform(-35, 35, 2)
+        if all(np.hypot(c[0] - x, c[1] - y) > 15.0 for x, y in centers):
+            centers.append(tuple(c))
+    return [
+        (cx, cy, rng.uniform(-np.pi, np.pi), 0.0, 0.0,
+         int(rng.choice([1, 6, 9])))
+        for cx, cy in centers
+    ]
+
+
+def _exact_batch_stats(model, state, batch, cfg):
+    """Recover exact batch statistics from one mutable train-mode apply
+    (same BN-staleness correction as the overfit gate)."""
+    kw = model_inputs(batch, cfg, training=True)
+    _, mut = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        **kw, train=True, mutable=["batch_stats"],
+    )
+    return jax.tree.map(
+        lambda upd, old: (upd - 0.99 * old) / 0.01,
+        mut["batch_stats"], state.batch_stats,
+    )
+
+
+def _matched_score(res, scene):
+    """Σ over planted boxes of the best decode score within half a cell."""
+    boxes = np.asarray(res["boxes"])[0]
+    scores = np.asarray(res["scores"])[0]
+    top = np.argsort(-scores)[:16]
+    total = 0.0
+    for cx, cy, *_ in scene:
+        d = np.hypot(boxes[top, 0] - cx, boxes[top, 1] - cy)
+        m = d < 5.4
+        if np.any(m):
+            total += float(scores[top][m].max())
+    return total
+
+
+def test_distill_ab_held_out():
+    """A/B gate (VERDICT r2 §3): with a competent teacher, a briefly-trained
+    distilled student must beat the identically-trained undistilled student
+    on HELD-OUT scenes — distillation transfers knowledge, not just loss
+    plumbing. Teacher: fusion; student: lidar (DISTILL_VARIANTS
+    ('fusion','lidar'), ref …lidar_exp_distill_fusion.py)."""
+    from unidistill_tpu.configs.nuscenes import DISTILL_VARIANTS
+    from unidistill_tpu.training.steps import distill_train_step
+
+    t_cfg = tiny_model(with_lidar=True, with_camera=True)
+    s_cfg = tiny_model(with_lidar=True, with_camera=False)
+    dcfg = DISTILL_VARIANTS[("fusion", "lidar")]
+    rng = np.random.RandomState(7)
+    train_scenes = [_random_scene(rng) for _ in range(4)]
+    held_out = [_random_scene(rng) for _ in range(2)]
+    train_batches = [
+        jax.tree.map(jnp.asarray, _scene_batch(t_cfg, B=1, seed=i, scene=s))
+        for i, s in enumerate(train_scenes)
+    ]
+    held_batches = [
+        jax.tree.map(jnp.asarray, _scene_batch(t_cfg, B=1, seed=100 + i, scene=s))
+        for i, s in enumerate(held_out)
+    ]
+
+    # --- teacher: train to competence on the training scenes
+    teacher = BEVFusionCenterHead(t_cfg)
+    kw_t = model_inputs(train_batches[0], t_cfg, training=True)
+    tv = teacher.init(jax.random.PRNGKey(0), **kw_t, train=True)
+    tx_t = make_optimizer(1e-2, 1e-7, 0.1)
+    t_state = create_train_state(tv, tx_t)
+    t_step = jax.jit(functools.partial(train_step, model=teacher, cfg=t_cfg,
+                                       tx=tx_t))
+    for i in range(120):
+        t_state, _ = t_step(t_state, train_batches[i % len(train_batches)])
+
+    # --- two students from the SAME init, same data order, same steps
+    student = BEVFusionCenterHead(s_cfg)
+    kw_s = model_inputs(train_batches[0], s_cfg, training=True)
+    sv = student.init(jax.random.PRNGKey(42), **kw_s, train=True)
+    tx_s = make_optimizer(3e-3, 1e-7, 0.1)
+    N_STUD = 50
+
+    plain = create_train_state(sv, tx_s)
+    p_step = jax.jit(functools.partial(train_step, model=student, cfg=s_cfg,
+                                       tx=tx_s))
+    for i in range(N_STUD):
+        plain, _ = p_step(plain, train_batches[i % len(train_batches)])
+
+    dist = create_train_state(sv, tx_s)
+    d_step = jax.jit(functools.partial(
+        distill_train_step, student_model=student, teacher_model=teacher,
+        tx=tx_s, student_cfg=s_cfg, teacher_cfg=t_cfg, dcfg=dcfg,
+    ))
+    for i in range(N_STUD):
+        dist, _ = d_step(dist, t_state.params, t_state.batch_stats,
+                         train_batches[i % len(train_batches)])
+
+    # --- held-out comparison (same BN correction for both)
+    ev = jax.jit(functools.partial(eval_step, model=student, cfg=s_cfg))
+    score_p = score_d = 0.0
+    for hb, scene in zip(held_batches, held_out):
+        ps = plain.replace(
+            batch_stats=_exact_batch_stats(student, plain, hb, s_cfg))
+        ds = dist.replace(
+            batch_stats=_exact_batch_stats(student, dist, hb, s_cfg))
+        score_p += _matched_score(ev(ps, hb), scene)
+        score_d += _matched_score(ev(ds, hb), scene)
+    assert score_d > score_p, (
+        f"distilled student ({score_d:.3f}) does not beat undistilled "
+        f"({score_p:.3f}) on held-out scenes"
+    )
 
 
 def test_distill_losses_decrease():

@@ -59,16 +59,14 @@ class ShapeCaps:
 
     max_points: int = 262144  # key frame + 10 sweeps, padded
     max_voxels_train: int = 120000  # ref base_nuscenes_cfg.py:112
-    # Eval voxel cap. The reference config says (120000, 160000) — but the
-    # 160k eval ceiling never binds: a 10-sweep nuScenes cloud at 0.075 m
-    # occupies well under 120k voxels (the reference trains every epoch on
-    # the same frames under the 120k TRAIN cap without truncation, which is
-    # the strongest evidence available in-repo), and on a TPU the static
-    # cap directly sets stage-0 compute time (+33% for the unused slack).
-    # We therefore run eval at the train cap; restore 160000 via
-    # `--exp_options model.caps.max_voxels_eval=160000` for strict parity.
-    # (VERDICT r1 "What's weak" §1 lever (c): justify or drop.)
-    max_voxels_eval: int = 120000
+    # Eval voxel cap — reference parity: (120000, 160000) train/eval
+    # (base_nuscenes_cfg.py:112). Realistic 10-sweep clouds DO reach the
+    # 120k train cap (experiments/occupancy_profile.py: V hits the cap), so
+    # eval at 120k would silently drop voxels and shift mAP. Keep 160000;
+    # opt into the ~25% faster truncating eval explicitly via
+    # `--exp_options model.caps.max_voxels_eval=120000`. The host voxelizer
+    # reports cap-bind occurrences (voxelize_host.voxelize_frame).
+    max_voxels_eval: int = 160000
     max_points_per_voxel: int = 10  # ref base_nuscenes_cfg.py:111
     max_gt_boxes: int = 128  # per-frame GT cap (collate pads to this)
 

@@ -121,21 +121,24 @@ class NuScenesDataset:
         return pts[:, : (5 if self.cfg.lidar_with_timestamp else 4)].copy()
 
     def _load_sweeps(self, info):
+        # Reference semantics (nuscenes_multimodal.py sweeps loop): concatenate
+        # only the sweeps that exist — early-scene frames with n_avail <
+        # num_lidar_sweeps yield fewer points, NOT duplicated ones (duplicates
+        # would shift voxel mean-VFE features). Fixed-shape padding happens
+        # downstream via the point cap/mask.
         sweeps, sweep_infos = [], []
         n_avail = len(info.get("lidar_sweeps", []))
-        for sw in range(self.cfg.num_lidar_sweeps):
-            i = min(sw, n_avail - 1)
-            if i >= 0:
-                s = info["lidar_sweeps"][i]["LIDAR_TOP"]
-                f = os.path.join(self.cfg.root_path, s["filename"])
-                pts = np.fromfile(f, dtype=np.float32).reshape(-1, 5)
-                sweeps.append(pts)
-                sweep_infos.append(
-                    dict(
-                        sweep_lidar_to_ego=np.linalg.inv(s["car_from_global"]),
-                        sweep_lidar_timestamp=s["timestamp"],
-                    )
+        for i in range(min(self.cfg.num_lidar_sweeps, n_avail)):
+            s = info["lidar_sweeps"][i]["LIDAR_TOP"]
+            f = os.path.join(self.cfg.root_path, s["filename"])
+            pts = np.fromfile(f, dtype=np.float32).reshape(-1, 5)
+            sweeps.append(pts)
+            sweep_infos.append(
+                dict(
+                    sweep_lidar_to_ego=np.linalg.inv(s["car_from_global"]),
+                    sweep_lidar_timestamp=s["timestamp"],
                 )
+            )
         return sweeps, sweep_infos
 
     def _load_images(self, info):

@@ -21,18 +21,34 @@ _LIB_PATH = os.path.join(
 )
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any source/Makefile —
+    the binary is never committed (advisor r2: a checked-in blob can't be
+    verified against the committed source); it is always built locally."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    src_dir = os.path.dirname(_LIB_PATH)
+    for f in os.listdir(src_dir):
+        if f.endswith(".cc") or f == "Makefile":
+            if os.path.getmtime(os.path.join(src_dir, f)) > so_mtime:
+                return True
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
-        try:  # best-effort build
+    if _stale():
+        try:  # best-effort build; numpy fallbacks cover failure
             subprocess.run(
-                ["make", "-C", os.path.dirname(_LIB_PATH)],
-                check=True, capture_output=True, timeout=120,
+                ["make", "-C", os.path.dirname(_LIB_PATH), "-B"],
+                check=True, capture_output=True, timeout=300,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -84,12 +84,23 @@ def voxelize_mean_sorted(
     return feats, coords
 
 
+# Count of frames whose occupied-voxel count hit the cap (truncation). The
+# advisor flagged that a binding cap silently drops voxels; surfacing the
+# counter lets runs verify the cap never binds on their data (per-process;
+# loader workers each count their own frames).
+CAP_BIND_COUNT = 0
+
+
 def voxelize_frame(points_padded, points_mask, mcfg, training: bool):
     """Dataset-side helper: voxelize one padded frame with the split's cap."""
+    global CAP_BIND_COUNT
     caps = mcfg.caps
     max_v = caps.max_voxels_train if training else caps.max_voxels_eval
-    return voxelize_mean_sorted(
+    feats, coords = voxelize_mean_sorted(
         points_padded[points_mask],
         mcfg.point_cloud_range, mcfg.voxel_size, mcfg.grid_size,
         max_v, caps.max_points_per_voxel,
     )
+    if coords[-1, 0] >= 0:  # last slot occupied → the cap bound this frame
+        CAP_BIND_COUNT += 1
+    return feats, coords

@@ -104,7 +104,13 @@ def run_cli(exp_cfg: cfgs.ExpConfig, exp_name: Optional[str] = None):
         return trainer
 
     ds, dl = loader("training", shuffle=True)
-    val_ds, val_dl = loader("validation", shuffle=False)
+    try:
+        val_ds, val_dl = loader("validation", shuffle=False)
+    except (FileNotFoundError, OSError) as e:
+        # hosts without a validation info pkl still train; per-epoch
+        # validation is simply skipped (advisor r2)
+        print(f"[base_cli] no validation split ({e}); per-epoch eval disabled")
+        val_ds = val_dl = None
     state = trainer.fit(
         dl, exp_cfg.train.max_epochs, resume_from=args.ckpt_path,
         val_loader=val_dl, val_dataset=val_ds,

@@ -83,13 +83,23 @@ def restore_checkpoint_any(path: str) -> Dict[str, Any]:
     (ref base_cli.py:54-56 passes ckpt_path straight through)."""
     path = os.path.abspath(path)
     if not os.path.exists(os.path.join(path, "_METADATA")):
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"checkpoint path {path!r} is not a checkpoint step directory "
+                "or a parent of one — expected .../ckpt/step_N (orbax layout "
+                "with _METADATA) or .../ckpt containing step_* subdirs"
+            )
         steps = sorted(
             (int(d.split("_")[1]), d)
             for d in os.listdir(path)
             if d.startswith("step_") and d.split("_")[1].isdigit()
         )
-        if steps:
-            path = os.path.join(path, steps[-1][1])
+        if not steps:
+            raise ValueError(
+                f"no step_* checkpoint directories under {path!r} — expected "
+                "the ckpt/step_N layout written by save_checkpoint"
+            )
+        path = os.path.join(path, steps[-1][1])
     with ocp.StandardCheckpointer() as ck:
         return ck.restore(path)
 
