@@ -119,65 +119,100 @@ class LSSFPN(nn.Module):
         train: bool,
         return_depth: bool = False,
     ):
-        """imgs: [B, N_cam, H, W, 3] normalized; mats: sensor2ego_mats /
-        intrin_mats / ida_mats [B, N_cam, 4, 4], bda_mat [B, 4, 4] (optional).
-        Returns BEV feature [B, ny, nx, C]."""
+        """Single-sweep (active configs, ref num_cam_sweeps=0):
+        imgs [B, N_cam, H, W, 3] normalized; mats: sensor2ego_mats /
+        intrin_mats / ida_mats [B, N_cam, 4, 4], bda_mat [B, 4, 4]
+        (optional). Returns BEV feature [B, ny, nx, C].
+
+        Multi-sweep (ref lss_fpn.py:244-306 `_forward_single_sweep` + the
+        sweeps loop :340-368): imgs [B, S, N_cam, H, W, 3] with per-sweep
+        mats [B, S, N_cam, 4, 4]; each sweep runs the full pipeline with
+        SHARED weights, sweeps > 0 under stop_gradient (the reference's
+        torch.no_grad), and the per-sweep BEV maps concat on the channel
+        axis → [B, ny, nx, S·C]."""
         cfg = self.cfg
-        B, N, H, W, _ = imgs.shape
-        x = imgs.reshape(B * N, H, W, 3)
+
+        # construct shared submodules ONCE; per-sweep calls reuse the params
         if cfg.img_backbone == "swin":
             from unidistill_tpu.layers.swin import SwinTransformer
 
-            feats = SwinTransformer(dtype=self.dtype, name="img_backbone")(
-                x, train
-            )
+            backbone = SwinTransformer(dtype=self.dtype, name="img_backbone")
         else:
-            feats = ResNet(dtype=self.dtype, name="img_backbone")(x, train)
+            backbone = ResNet(dtype=self.dtype, name="img_backbone")
         neck = SECONDFPN(
             out_channels=cfg.img_neck_out_channels,
             upsample_strides=cfg.img_neck_upsample_strides,
             dtype=self.dtype,
             name="img_neck",
-        )(feats, train)  # [B*N, fH, fW, 512]
-        D = cfg.depth_channels
-        C = cfg.output_channels
-        dc = nn.Conv(D + C, (1, 1), use_bias=True, dtype=self.dtype,
-                     name="depth_net")(neck)
-        dc = dc.astype(jnp.float32)
-        depth = jnp.moveaxis(
-            nn.softmax(dc[..., :D], axis=-1), -1, 1
-        )  # [B*N, D, fH, fW]
-        context = dc[..., D:]  # [B*N, fH, fW, C]
-
-        fH, fW = cfg.feat_hw
-        depth = depth.reshape(B, N, D, fH, fW)
-        context = context.reshape(B, N, fH, fW, C)
-
-        frustum = jnp.asarray(make_frustum(cfg))
-        geom = get_geometry(
-            frustum,
-            mats["sensor2ego_mats"],
-            mats["intrin_mats"],
-            mats["ida_mats"],
-            mats.get("bda_mat"),
-        )  # [B, N, D, fH, fW, 3]
-        lower = jnp.asarray(
-            [cfg.x_bound[0], cfg.y_bound[0], cfg.z_bound[0]], jnp.float32
         )
-        vsize = jnp.asarray(
-            [cfg.x_bound[2], cfg.y_bound[2], cfg.z_bound[2]], jnp.float32
+        depth_net = nn.Conv(
+            cfg.depth_channels + cfg.output_channels, (1, 1), use_bias=True,
+            dtype=self.dtype, name="depth_net",
         )
-        # .int() truncation toward zero — reference quirk (lss_fpn.py:311-313)
-        geom_idx = ((geom - lower) / vsize).astype(jnp.int32)
 
-        ny, nx = cfg.bev_hw
-        # Pallas fused scatter on TPU (~0.4 ns/point vs XLA scatter's ~65);
-        # XLA path elsewhere (tests/CPU mesh) and for non-128-multiple C.
-        ctx_ch = context.shape[-1]
-        if jax.default_backend() == "tpu" and ctx_ch % 128 == 0:
-            bev = bev_pool_outer_pallas(geom_idx, depth, context, (nx, ny, 1))
-        else:
-            bev = bev_pool_outer(geom_idx, depth, context, (nx, ny, 1))
+        def single_sweep(imgs_s, mats_s, want_depth):
+            B, N, H, W, _ = imgs_s.shape
+            x = imgs_s.reshape(B * N, H, W, 3)
+            feats = backbone(x, train)
+            fpn = neck(feats, train)  # [B*N, fH, fW, 512]
+            D = cfg.depth_channels
+            C = cfg.output_channels
+            dc = depth_net(fpn).astype(jnp.float32)
+            depth = jnp.moveaxis(
+                nn.softmax(dc[..., :D], axis=-1), -1, 1
+            )  # [B*N, D, fH, fW]
+            context = dc[..., D:]  # [B*N, fH, fW, C]
+
+            fH, fW = cfg.feat_hw
+            depth = depth.reshape(B, N, D, fH, fW)
+            context = context.reshape(B, N, fH, fW, C)
+
+            frustum = jnp.asarray(make_frustum(cfg))
+            geom = get_geometry(
+                frustum,
+                mats_s["sensor2ego_mats"],
+                mats_s["intrin_mats"],
+                mats_s["ida_mats"],
+                mats_s.get("bda_mat"),
+            )  # [B, N, D, fH, fW, 3]
+            lower = jnp.asarray(
+                [cfg.x_bound[0], cfg.y_bound[0], cfg.z_bound[0]], jnp.float32
+            )
+            vsize = jnp.asarray(
+                [cfg.x_bound[2], cfg.y_bound[2], cfg.z_bound[2]], jnp.float32
+            )
+            # .int() truncation toward zero — ref quirk (lss_fpn.py:311-313)
+            geom_idx = ((geom - lower) / vsize).astype(jnp.int32)
+
+            ny, nx = cfg.bev_hw
+            # Pallas fused scatter on TPU (~0.4 ns/point vs XLA scatter's
+            # ~65); XLA path elsewhere (tests/CPU mesh) and for
+            # non-128-multiple C.
+            ctx_ch = context.shape[-1]
+            if jax.default_backend() == "tpu" and ctx_ch % 128 == 0:
+                bev = bev_pool_outer_pallas(
+                    geom_idx, depth, context, (nx, ny, 1)
+                )
+            else:
+                bev = bev_pool_outer(geom_idx, depth, context, (nx, ny, 1))
+            return (bev, depth) if want_depth else bev
+
+        if imgs.ndim == 5:
+            return single_sweep(imgs, mats, return_depth)
+
+        # ---- multi-sweep: key frame keeps grads, rest are frozen context
+        S = imgs.shape[1]
+        sweep_mats = lambda s: {
+            k: (v if k == "bda_mat" else v[:, s]) for k, v in mats.items()
+        }
+        key = single_sweep(imgs[:, 0], sweep_mats(0), return_depth)
+        key_bev, key_depth = key if return_depth else (key, None)
+        bevs = [key_bev]
+        for s in range(1, S):
+            bevs.append(jax.lax.stop_gradient(
+                single_sweep(imgs[:, s], sweep_mats(s), False)
+            ))
+        out = jnp.concatenate(bevs, axis=-1)
         if return_depth:
-            return bev, depth
-        return bev
+            return out, key_depth
+        return out
