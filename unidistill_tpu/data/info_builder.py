@@ -19,6 +19,8 @@ unidistill/data/multisensorfusion/nuScenes_multimodal.py:114-249):
                     LIDAR frame (dx along box length — nuScenes size[1]),
     gt_names        raw category strings (mapped to the 10 det classes by
                     the dataset), num_lidar_pts, num_radar_pts,
+    gt_attributes   per-box attribute name ('' when absent) — consumed by
+                    the native evaluator's mAAE (data/detection_eval.py),
     car_from_global [4, 4] global→ego at key time,
     ref_from_car    [4, 4] ego→lidar,
     ego2global_translation / ego2global_rotation (for submission output),
@@ -74,6 +76,7 @@ class Tables:
         "scene", "sample", "sample_data", "ego_pose", "calibrated_sensor",
         "sensor", "sample_annotation", "instance", "category",
     )
+    OPTIONAL = ("attribute",)  # needed only for native mAAE scoring
 
     def __init__(self, dataroot: str, version: str):
         self.dataroot = dataroot
@@ -87,6 +90,13 @@ class Tables:
         for name in self.NAMES:
             with open(os.path.join(table_dir, f"{name}.json")) as f:
                 self.t[name] = {r["token"]: r for r in json.load(f)}
+        for name in self.OPTIONAL:
+            path = os.path.join(table_dir, f"{name}.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    self.t[name] = {r["token"]: r for r in json.load(f)}
+            else:
+                self.t[name] = {}
         # channel of a sample_data: calibrated_sensor → sensor → channel
         self.channel = {
             tok: self.t["sensor"][
@@ -191,7 +201,7 @@ def build_sample_info(tb: Tables, sample: dict, max_sweeps: int) -> Optional[dic
     anns = tb.anns.get(stok, [])
     n = len(anns)
     gt_boxes = np.zeros((n, 9))
-    gt_names, n_lidar, n_radar = [], [], []
+    gt_names, gt_attrs, n_lidar, n_radar = [], [], [], []
     R_gl = global_to_lidar[:3, :3]
     for i, a in enumerate(anns):
         center = global_to_lidar @ np.append(np.asarray(a["translation"]), 1.0)
@@ -210,6 +220,13 @@ def build_sample_info(tb: Tables, sample: dict, max_sweeps: int) -> Optional[dic
             inst = tb.t["instance"][a["instance_token"]]
             cat = tb.t["category"][inst["category_token"]]["name"]
         gt_names.append(cat)
+        # nuScenes annotations have 0 or 1 attribute (devkit GT loader takes
+        # the single one, '' when absent) — consumed by native mAAE scoring
+        atoks = a.get("attribute_tokens") or []
+        gt_attrs.append(
+            tb.t["attribute"].get(atoks[0], {}).get("name", "")
+            if len(atoks) == 1 else ""
+        )
         n_lidar.append(a.get("num_lidar_pts", 0))
         n_radar.append(a.get("num_radar_pts", 0))
 
@@ -218,6 +235,7 @@ def build_sample_info(tb: Tables, sample: dict, max_sweeps: int) -> Optional[dic
         timestamp=sample["timestamp"],
         gt_boxes=gt_boxes,
         gt_names=np.asarray(gt_names),
+        gt_attributes=np.asarray(gt_attrs),
         num_lidar_pts=np.asarray(n_lidar, np.int64),
         num_radar_pts=np.asarray(n_radar, np.int64),
         car_from_global=car_from_global,

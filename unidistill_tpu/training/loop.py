@@ -448,7 +448,19 @@ class Trainer:
         result_dir = os.path.join(self.output_dir, "nuscenes")
         path = generate_submission(preds, infos, result_dir)
         dcfg = self.exp_cfg.data
-        return run_detection_eval(
+        metrics = run_detection_eval(
             path, result_dir, eval_set=eval_set,
             version=dcfg.nusc_version, dataroot=dcfg.root_path,
         )
+        if metrics is None:
+            # devkit absent: native detection_cvpr_2019 scorer against the
+            # info-pkl GT (data/detection_eval.py)
+            from unidistill_tpu.data.detection_eval import (
+                evaluate_submission_native,
+            )
+
+            metrics = evaluate_submission_native(
+                path, infos,
+                output_path=os.path.join(result_dir, "metrics_summary.json"),
+            )
+        return metrics
