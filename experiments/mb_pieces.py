@@ -18,7 +18,7 @@ B, S, C, co = 4, 98304, 32, 32
 def main():
     ovh = overhead()
     print(f"overhead {ovh*1e3:.1f} ms", flush=True)
-    feats, occ, ck, ch, vd, tb, w = make_inputs(B, S, C, co)
+    feats, occ_bits, ck, ch, vd, tb, w = make_inputs(B, S, C, co)
 
     def t(name, op, *args):
         try:
@@ -36,10 +36,10 @@ def main():
         f2 = a[0] + c.astype(jnp.bfloat16) * 0
         return _window_table(f2, a[1], a[2], a[3], a[4], False, jnp.bfloat16)
 
-    t("window_table", wt, feats, occ, ck, ch, vd)
+    t("window_table", wt, feats, occ_bits, ck, ch, vd)
 
     # 2. case-view build given a materialized table
-    tab = _window_table(feats, occ, ck, ch, vd, False, jnp.bfloat16)
+    tab = _window_table(feats, occ_bits, ck, ch, vd, False, jnp.bfloat16)
 
     def cvb(a, c):
         tb2 = a[0] + c.astype(jnp.bfloat16) * 0
@@ -87,7 +87,7 @@ def main():
 
     # 5. flat-minor window table: src as [B, S, 4C] flat rows, shifts +
     #    minor-dim concat straight to [B, S+1, 10C]
-    srcf = jnp.where(occ[..., None], feats, 0).reshape(B, S, 4 * C)
+    srcf = feats  # already flat [B, S, 4C], masked
     ckj, chj = ck, ch
 
     def wt_flat(a, c):

@@ -40,7 +40,7 @@ def bench_shape(B, S, C, co, shape, ovh):
     st = chunked_from_voxels(jnp.asarray(feats), jnp.asarray(coords), shape)
     tb = build_chunked_tables(st.colkey, st.chunk, st.valid, shape)
     Sref = st.feats.shape[1]
-    f = jnp.asarray(rng.randn(B, Sref, 4, C).astype(np.float32)).astype(
+    f = jnp.asarray(rng.randn(B, Sref, 4 * C).astype(np.float32)).astype(
         jnp.bfloat16
     )
     w = jnp.asarray(rng.randn(27, C, co).astype(np.float32))
@@ -52,7 +52,7 @@ def bench_shape(B, S, C, co, shape, ovh):
 
     fjit = jax.jit(scan_op(op))
     t0 = time.time()
-    ms = timed(fjit, f, st.occ, st.colkey, st.chunk, st.valid, ovh=ovh) * 1e3
+    ms = timed(fjit, f, st.occ_bits, st.colkey, st.chunk, st.valid, ovh=ovh) * 1e3
     mode = os.environ.get("UNIDISTILL_SUBM_CASE_VIEW", "auto")
     print(f"  S={S} C={C} co={co} mode={mode}: {ms:7.2f} ms/conv "
           f"(compile {time.time()-t0:.0f}s)", flush=True)

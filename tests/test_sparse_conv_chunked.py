@@ -1,8 +1,11 @@
 """Chunked sparse-conv vs dense-conv oracle + VJP checks (SURVEY.md §4:
 dense-numpy oracles per kernel). Submanifold/strided sparse convs evaluated
 at active sites must equal the dense convolution there, because inactive
-cells are zero. The chunked layout additionally has exact occupancy masks
-and custom VJPs, both checked against the dense formulation."""
+cells are zero. The chunked layout additionally has exact occupancy bitmaps
+and custom VJPs, both checked against the dense formulation.
+
+Round 3: the layout is flat z-folded — feats [B, S, 4·C] (lane = zp·C + c)
+with int32 occ_bits [B, S]; the oracles unfold to [B, S, 4, C] views."""
 import pytest
 
 import numpy as np
@@ -16,8 +19,20 @@ from unidistill_tpu.ops.sparse_conv_chunked import (
     chunked_to_dense,
     down2_conv_chunked,
     down2_sites,
+    occ_of_bits,
     subm_conv_chunked,
 )
+
+
+def _occ4(occ_bits):
+    """int32 bitmap [B, S] → bool [B, S, 4] numpy."""
+    return np.asarray(occ_of_bits(occ_bits))
+
+
+def _unfold(a, C):
+    """Flat [B, S, 4·C] → [B, S, 4, C] numpy view (zp-major lane fold)."""
+    a = np.asarray(a)
+    return a.reshape(a.shape[0], a.shape[1], 4, C)
 
 
 def _random_voxels(rng, shape, n_active, C, cap, B=2):
@@ -59,15 +74,15 @@ def _dense_conv(dense, w, stride, padding):
     )
 
 
-def _gather_dense(dense_np, st):
-    """Read dense values at each chunked slot's 4 z positions."""
+def _gather_dense(dense_np, st, occ4=None):
+    """Read dense values at each chunked slot's 4 z positions → [B,S,4,C]."""
     B, S = st.colkey.shape
     D2 = dense_np.shape[1]
     W = dense_np.shape[3]
-    out = np.zeros(st.feats.shape[:3] + (dense_np.shape[-1],), np.float32)
+    out = np.zeros((B, S, 4, dense_np.shape[-1]), np.float32)
     ck = np.asarray(st.colkey)
     chk = np.asarray(st.chunk)
-    occ = np.asarray(st.occ)
+    occ = _occ4(st.occ_bits) if occ4 is None else occ4
     for b in range(B):
         for s in range(S):
             if not st.valid[b, s]:
@@ -90,20 +105,17 @@ def test_roundtrip_to_dense():
     B_, H_, W_, nch_, _ = dense.shape
     C_ = ref.shape[-1]
     dense = dense.reshape(B_, H_, W_, nch_ * 4, C_)
-    occ = occ.reshape(B_, H_, W_, nch_ * 4)
     got = np.asarray(dense)  # [B, H, W, nch*4, C]
     D = shape[0]
     np.testing.assert_allclose(
         got[:, :, :, :D, :].transpose(0, 3, 1, 2, 4), ref, atol=1e-6
     )
     assert np.abs(got[:, :, :, D:, :]).sum() == 0
-    occ_ref = (np.abs(ref).sum(-1) > 0) | (
-        np.zeros_like(ref[..., 0], bool)
-    )
-    # occupancy matches sites with voxels (random feats are nonzero a.s.)
-    np.testing.assert_array_equal(
-        np.asarray(occ)[:, :, :, :D].transpose(0, 3, 1, 2), occ_ref
-    )
+    # occ is z-outer [B, nch*4, H, W]
+    occ_ref = np.abs(ref).sum(-1) > 0
+    got_occ = np.asarray(occ)
+    np.testing.assert_array_equal(got_occ[:, :D], occ_ref)
+    assert got_occ[:, D:].sum() == 0
 
 
 def test_subm_conv_matches_dense():
@@ -116,22 +128,19 @@ def test_subm_conv_matches_dense():
     bias = rng.randn(5).astype(np.float32)
 
     out = subm_conv_chunked(
-        st.feats, st.occ, st.colkey, st.chunk, st.valid, jnp.asarray(w),
+        st.feats, st.occ_bits, st.colkey, st.chunk, st.valid, jnp.asarray(w),
         jnp.asarray(bias), tb, "float32"
     )
 
     dense = _dense_from_voxels(feats, coords, shape)
-    ref = np.asarray(
-        _dense_conv(dense, w.reshape(3, 3, 3, 4, 5), (1, 1, 1), (1, 1, 1))
-    ) + bias
     ref_slots = _gather_dense(
         np.asarray(
             _dense_conv(dense, w.reshape(3, 3, 3, 4, 5), (1, 1, 1), (1, 1, 1))
         ) + bias[None, None, None, None],
         st,
     )
-    got = np.asarray(out)
-    mask = np.asarray(st.occ)[..., None]
+    got = _unfold(out, 5)
+    mask = _occ4(st.occ_bits)[..., None]
     np.testing.assert_allclose(got * mask, ref_slots * mask, rtol=1e-4, atol=1e-4)
     # inactive sites are exactly zero
     assert np.abs(got * (1 - mask)).sum() == 0
@@ -154,10 +163,11 @@ def test_down2_conv_matches_dense(shape):
     w = rng.randn(27, 3, 6).astype(np.float32)
     bias = rng.randn(6).astype(np.float32)
 
-    out, occ_out = down2_conv_chunked(
-        st.feats, st.occ, st.colkey, st.chunk, st.valid, jnp.asarray(w),
+    out, occ_bits_out = down2_conv_chunked(
+        st.feats, st.occ_bits, st.colkey, st.chunk, st.valid, jnp.asarray(w),
         jnp.asarray(bias), sites, out_tb, shape, out_shape, "float32",
     )
+    occ_out = _occ4(occ_bits_out)
 
     dense = _dense_from_voxels(feats, coords, shape)
     ref = np.asarray(
@@ -170,22 +180,23 @@ def test_down2_conv_matches_dense(shape):
                     (2, 2, 2), (1, 1, 1))
     )[..., 0] > 0.5
 
-    out_st = type(st)(out, occ_out, sites.colkey, sites.chunk, sites.valid)
+    out_st = type(st)(out, occ_bits_out, sites.colkey, sites.chunk,
+                      sites.valid)
     got_occ = _gather_dense(occ_ref[..., None].astype(np.float32), out_st)
     # every active out site must be inside the generated slot set & flagged
     total_active_ref = occ_ref.sum()
-    total_active_got = np.asarray(occ_out).sum()
+    total_active_got = occ_out.sum()
     assert total_active_got == total_active_ref, (
         total_active_got, total_active_ref
     )
-    assert np.all(got_occ[..., 0][np.asarray(occ_out)] > 0.5)
+    assert np.all(got_occ[..., 0][occ_out] > 0.5)
 
     ref_slots = _gather_dense(ref + bias[None, None, None, None], out_st)
-    mask = np.asarray(occ_out)[..., None]
+    mask = occ_out[..., None]
     np.testing.assert_allclose(
-        np.asarray(out) * mask, ref_slots * mask, rtol=1e-4, atol=1e-4
+        _unfold(out, 6) * mask, ref_slots * mask, rtol=1e-4, atol=1e-4
     )
-    assert np.abs(np.asarray(out) * (1 - mask)).sum() == 0
+    assert np.abs(_unfold(out, 6) * (1 - mask)).sum() == 0
 
 
 def test_subm_vjp_matches_dense():
@@ -196,22 +207,22 @@ def test_subm_vjp_matches_dense():
     tb = build_chunked_tables(st.colkey, st.chunk, st.valid, shape)
     w = jnp.asarray(rng.randn(27, 3, 4).astype(np.float32))
     bias = jnp.asarray(rng.randn(4).astype(np.float32))
-    R = jnp.asarray(rng.randn(*(st.feats.shape[:3] + (4,))).astype(np.float32))
-    R = jnp.where(st.occ[..., None], R, 0.0)
+    B, S = st.colkey.shape
+    R = jnp.asarray(rng.randn(B, S, 4 * 4).astype(np.float32))
+    from unidistill_tpu.ops.sparse_conv_chunked import zmask
+    R = zmask(st.occ_bits, 4, R)
 
     def loss_chunked(f, wt, bi):
-        out = subm_conv_chunked(f, st.occ, st.colkey, st.chunk, st.valid,
-                                wt, bi, tb, "float32")
+        out = subm_conv_chunked(f, st.occ_bits, st.colkey, st.chunk,
+                                st.valid, wt, bi, tb, "float32")
         return jnp.sum(out * R)
 
     gf, gw, gb = jax.grad(loss_chunked, argnums=(0, 1, 2))(st.feats, w, bias)
 
     # dense reference: same loss through dense conv, R scattered to grid
     dense = jnp.asarray(_dense_from_voxels(feats, coords, shape))
-    occ_d = jnp.asarray(
-        _gather_scatter_mask(st, shape)
-    )
-    Rd = jnp.asarray(_scatter_slots(np.asarray(R), st, shape))
+    occ_d = jnp.asarray(_gather_scatter_mask(st, shape))
+    Rd = jnp.asarray(_scatter_slots(_unfold(R, 4), st, shape))
 
     def loss_dense(d, wt, bi):
         out = _dense_conv(d, wt.reshape(3, 3, 3, 3, 4), (1, 1, 1), (1, 1, 1))
@@ -223,9 +234,9 @@ def test_subm_vjp_matches_dense():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gbd), rtol=1e-3, atol=1e-4)
     # feature grads compared at active sites
     gf_ref = _gather_dense(np.asarray(gd), st)
-    mask = np.asarray(st.occ)[..., None]
+    mask = _occ4(st.occ_bits)[..., None]
     np.testing.assert_allclose(
-        np.asarray(gf) * mask, gf_ref * mask, rtol=1e-3, atol=1e-4
+        _unfold(gf, 3) * mask, gf_ref * mask, rtol=1e-3, atol=1e-4
     )
 
 
@@ -242,21 +253,23 @@ def test_down2_vjp_matches_dense():
     out_tb = build_chunked_tables(sites.colkey, sites.chunk, sites.valid, out_shape)
     w = jnp.asarray(rng.randn(27, 3, 5).astype(np.float32))
     bias = jnp.asarray(rng.randn(5).astype(np.float32))
-    Rnp = rng.randn(sites.colkey.shape[0], sites.colkey.shape[1], 4, 5)
+    B2, S2 = sites.colkey.shape
+    Rnp = rng.randn(B2, S2, 4 * 5)
 
     def run_sites():
         return down2_conv_chunked(
-            st.feats, st.occ, st.colkey, st.chunk, st.valid, w, bias, sites,
-            out_tb, shape, out_shape, "float32",
+            st.feats, st.occ_bits, st.colkey, st.chunk, st.valid, w, bias,
+            sites, out_tb, shape, out_shape, "float32",
         )
 
-    _, occ_out = run_sites()
-    R = jnp.asarray(Rnp.astype(np.float32)) * occ_out[..., None]
+    _, occ_bits_out = run_sites()
+    from unidistill_tpu.ops.sparse_conv_chunked import zmask
+    R = zmask(occ_bits_out, 5, jnp.asarray(Rnp.astype(np.float32)))
 
     def loss_chunked(f, wt, bi):
         out, _ = down2_conv_chunked(
-            f, st.occ, st.colkey, st.chunk, st.valid, wt, bi, sites, out_tb,
-            shape, out_shape, "float32",
+            f, st.occ_bits, st.colkey, st.chunk, st.valid, wt, bi, sites,
+            out_tb, shape, out_shape, "float32",
         )
         return jnp.sum(out * R)
 
@@ -268,9 +281,10 @@ def test_down2_vjp_matches_dense():
         occ_in, jnp.ones((3, 3, 3, 1, 1)), (2, 2, 2), (1, 1, 1)
     )[..., 0] > 0.5
     out_st = type(st)(
-        jnp.zeros(R.shape), occ_out, sites.colkey, sites.chunk, sites.valid
+        jnp.zeros(R.shape), occ_bits_out, sites.colkey, sites.chunk,
+        sites.valid
     )
-    Rd = jnp.asarray(_scatter_slots(np.asarray(R), out_st, out_shape))
+    Rd = jnp.asarray(_scatter_slots(_unfold(R, 5), out_st, out_shape))
 
     def loss_dense(d, wt, bi):
         out = _dense_conv(d, wt.reshape(3, 3, 3, 3, 5), (2, 2, 2), (1, 1, 1))
@@ -281,9 +295,9 @@ def test_down2_vjp_matches_dense():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gwd), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gbd), rtol=1e-3, atol=1e-4)
     gf_ref = _gather_dense(np.asarray(gd), st)
-    mask = np.asarray(st.occ)[..., None]
+    mask = _occ4(st.occ_bits)[..., None]
     np.testing.assert_allclose(
-        np.asarray(gf) * mask, gf_ref * mask, rtol=1e-3, atol=1e-4
+        _unfold(gf, 3) * mask, gf_ref * mask, rtol=1e-3, atol=1e-4
     )
 
 
@@ -294,7 +308,7 @@ def _scatter_slots(vals, st, shape):
     C = vals.shape[-1]
     out = np.zeros((B, D, H, W, C), np.float32)
     ck, chk = np.asarray(st.colkey), np.asarray(st.chunk)
-    occ = np.asarray(st.occ)
+    occ = _occ4(st.occ_bits)
     for b in range(B):
         for s in range(S):
             if not st.valid[b, s]:
@@ -308,12 +322,12 @@ def _scatter_slots(vals, st, shape):
 
 
 def _gather_scatter_mask(st, shape):
-    """Dense bool occupancy from the chunked occ mask."""
+    """Dense bool occupancy from the chunked occ bitmap."""
     D, H, W = shape
     B, S = np.asarray(st.colkey).shape
     m = np.zeros((B, D, H, W), np.float32)
     ck, chk = np.asarray(st.colkey), np.asarray(st.chunk)
-    occ = np.asarray(st.occ)
+    occ = _occ4(st.occ_bits)
     for b in range(B):
         for s in range(S):
             if not st.valid[b, s]:

@@ -58,10 +58,12 @@ def test_host_tables_match_device(grid, n_active, cap):
             [np.asarray(feats[b]), np.zeros((1, 5), np.float32)]
         )
         np.testing.assert_array_equal(
-            vf[topo["src0"]], np.asarray(st.feats[b], np.float32)
+            vf[topo["src0"]],
+            np.asarray(st.feats[b], np.float32).reshape(-1, 4, 5)
         )
+        from unidistill_tpu.ops.sparse_conv_chunked import occ_of_bits
         np.testing.assert_array_equal(
-            topo["src0"] < V, np.asarray(st.occ[b])
+            topo["src0"] < V, np.asarray(occ_of_bits(st.occ_bits[b]))
         )
 
         np.testing.assert_array_equal(

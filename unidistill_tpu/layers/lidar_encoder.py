@@ -48,6 +48,7 @@ from unidistill_tpu.ops.sparse_conv_chunked import (
     down2_conv_chunked,
     down2_sites,
     subm_conv_chunked,
+    zmask,
 )
 
 
@@ -180,8 +181,56 @@ class SparseBasicBlock(nn.Module):
         return out._replace(features=f)
 
 
+class MaskedBatchNormZ(nn.Module):
+    """BatchNorm over flat z-folded slot features [B, S, 4·C] with an int32
+    per-slot occupancy bitmap. Math-identical to `MaskedBatchNorm` over the
+    unfolded [B, S·4, C] view (same param/stat shapes [C] — checkpoint
+    compatible), but never materializes a [.., 4, C] lane-padded tensor:
+    the round-2 reshape to [B, S·4, C] was a relayout copy on every BN call
+    (PROFILE.md r3 trace)."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, occ_bits, train: bool):
+        FC = x.shape[-1]
+        C = FC // 4
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (C,))
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (C,))
+
+        # occupancy is integer topology — never differentiated, and
+        # population_count has no JVP rule (occ_bits can arrive as a traced
+        # custom_vjp output of the down convs)
+        occ_bits = jax.lax.stop_gradient(occ_bits)
+        if train:
+            xm = zmask(occ_bits, C, x.astype(jnp.float32))
+            cnt = jnp.maximum(
+                jnp.sum(jax.lax.population_count(occ_bits)).astype(
+                    jnp.float32
+                ), 1.0
+            )
+            s1 = xm.sum(axis=(0, 1)).reshape(4, C).sum(0)
+            s2 = jnp.square(xm).sum(axis=(0, 1)).reshape(4, C).sum(0)
+            mean = s1 / cnt
+            # Σ m·(x−mean)² = Σ m·x² − cnt·mean²  (identical to the masked
+            # two-pass variance of MaskedBatchNorm, in f32)
+            var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        sc = (jax.lax.rsqrt(var + self.epsilon) * scale)
+        y = (x - jnp.tile(mean, 4)) * jnp.tile(sc, 4) + jnp.tile(bias, 4)
+        return zmask(occ_bits, C, y).astype(x.dtype)
+
+
 class _SubMConvChunked(nn.Module):
-    """Submanifold 3³ conv in the chunked layout; params match `_SubMConv`."""
+    """Submanifold 3³ conv in the flat chunked layout; params match
+    `_SubMConv`."""
 
     cin: int
     cout: int
@@ -189,43 +238,38 @@ class _SubMConvChunked(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats, occ, ck, ch, vd, tables):
+    def __call__(self, feats, occ_bits, ck, ch, vd, tables):
         w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
         b = (
             self.param("bias", nn.initializers.zeros, (self.cout,))
             if self.use_bias else None
         )
         return subm_conv_chunked(
-            feats, occ, ck, ch, vd, w, b, tables, jnp.dtype(self.dtype).name
+            feats, occ_bits, ck, ch, vd, w, b, tables,
+            jnp.dtype(self.dtype).name
         )
 
 
 class SparseBasicBlockChunked(nn.Module):
-    """spconv SparseBasicBlock (spconv_backbone.py:60-113) on chunked slots;
-    param tree identical to `SparseBasicBlock` (bias-before-BN quirk kept)."""
+    """spconv SparseBasicBlock (spconv_backbone.py:60-113) on flat chunked
+    slots; param tree identical to `SparseBasicBlock` (bias-before-BN quirk
+    kept)."""
 
     planes: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats, occ, ck, ch, vd, tables, train: bool):
-        B, S = occ.shape[:2]
-        mask = occ.reshape(B, S * 4)
-
+    def __call__(self, feats, occ_bits, ck, ch, vd, tables, train: bool):
         identity = feats
         f = _SubMConvChunked(self.planes, self.planes, True, self.dtype,
-                             name="conv1")(feats, occ, ck, ch, vd, tables)
-        f = MaskedBatchNorm(name="bn1")(
-            f.reshape(B, S * 4, -1), mask, train
-        ).reshape(f.shape)
+                             name="conv1")(feats, occ_bits, ck, ch, vd, tables)
+        f = MaskedBatchNormZ(name="bn1")(f, occ_bits, train)
         f = nn.relu(f)
         f = _SubMConvChunked(self.planes, self.planes, True, self.dtype,
-                             name="conv2")(f, occ, ck, ch, vd, tables)
-        f = MaskedBatchNorm(name="bn2")(
-            f.reshape(B, S * 4, -1), mask, train
-        ).reshape(f.shape)
+                             name="conv2")(f, occ_bits, ck, ch, vd, tables)
+        f = MaskedBatchNormZ(name="bn2")(f, occ_bits, train)
         f = nn.relu(f + identity.astype(f.dtype))
-        return jnp.where(occ[..., None], f, 0.0)
+        return zmask(occ_bits, self.planes, f)
 
 
 # Rematerialized block aliases: the encoder's res-block activations (window
@@ -402,10 +446,10 @@ class _Down2Chunked(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats, occ, colkey, chunk, valid, sites, out_tb):
+    def __call__(self, feats, occ_bits, colkey, chunk, valid, sites, out_tb):
         w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
         return down2_conv_chunked(
-            feats, occ, colkey, chunk, valid, w, None, sites, out_tb,
+            feats, occ_bits, colkey, chunk, valid, w, None, sites, out_tb,
             self.spatial_shape, self.out_spatial_shape,
             jnp.dtype(self.dtype).name,
         )
@@ -449,21 +493,17 @@ class VoxelResBackBone8x(nn.Module):
             st = chunked_from_voxels(feats.astype(dt), coords, s0)
             tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
 
-        def bn_relu_ch(f, occ, name):
-            S = occ.shape[1]
-            f = MaskedBatchNorm(name=name)(
-                f.reshape(B, S * 4, -1), occ.reshape(B, S * 4), train
-            ).reshape(f.shape)
-            return nn.relu(f)
+        def bn_relu_ch(f, occ_bits, name):
+            return nn.relu(MaskedBatchNormZ(name=name)(f, occ_bits, train))
 
         f = _SubMConvChunked(feats.shape[-1], 16, False, dt,
                              name="conv_input")(
-            st.feats, st.occ, st.colkey, st.chunk, st.valid, tb0)
-        f = bn_relu_ch(f, st.occ, "bn_input")
+            st.feats, st.occ_bits, st.colkey, st.chunk, st.valid, tb0)
+        f = bn_relu_ch(f, st.occ_bits, "bn_input")
         f = _RematBlockC(16, dt, name="res1a")(
-            f, st.occ, st.colkey, st.chunk, st.valid, tb0, train)
+            f, st.occ_bits, st.colkey, st.chunk, st.valid, tb0, train)
         f = _RematBlockC(16, dt, name="res1b")(
-            f, st.occ, st.colkey, st.chunk, st.valid, tb0, train)
+            f, st.occ_bits, st.colkey, st.chunk, st.valid, tb0, train)
 
         if topo is not None:
             sites2 = sites_from_host(topo["ck2"], topo["ch2"], topo["a2"],
@@ -475,8 +515,9 @@ class VoxelResBackBone8x(nn.Module):
             tb2 = build_chunked_tables(sites2.colkey, sites2.chunk,
                                        sites2.valid, s2)
         f2, occ2 = _Down2Chunked(16, 32, s0, s2, dt, name="down2")(
-            f, st.occ, st.colkey, st.chunk, st.valid, sites2, tb2
+            f, st.occ_bits, st.colkey, st.chunk, st.valid, sites2, tb2
         )
+        occ2 = jax.lax.stop_gradient(occ2)  # integer topology (no JVP rules)
         f2 = bn_relu_ch(f2, occ2, "bn2")
         f2 = _RematBlockC(32, dt, name="res2a")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, tb2, train)
@@ -497,6 +538,7 @@ class VoxelResBackBone8x(nn.Module):
         f3, occ3 = _Down2Chunked(32, 64, s2, s3, dt, name="down3")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, sites3, tb3
         )
+        occ3 = jax.lax.stop_gradient(occ3)  # integer topology (no JVP rules)
         f3 = bn_relu_ch(f3, occ3, "bn3")
         f3 = _RematBlockC(64, dt, name="res3a")(
             f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)
@@ -506,11 +548,8 @@ class VoxelResBackBone8x(nn.Module):
         st3 = ChunkedSparseTensor(f3, occ3, sites3.colkey, sites3.chunk,
                                   sites3.valid)
         # chunk-folded dense [B, H3, W3, 3, 4·64] — minor dim 256, no padding
-        dense3, occd3 = chunked_to_dense(st3, s3)
-        B_, H3, W3, nch3, _ = dense3.shape
-        occz3 = jnp.transpose(
-            occd3.reshape(B_, H3, W3, nch3 * 4), (0, 3, 1, 2)
-        )  # [B, 12, H3, W3] z-outer (plane 11 is empty padding)
+        dense3, occz3 = chunked_to_dense(st3, s3)
+        # occz3: [B, 12, H3, W3] z-outer (plane 11 is empty chunk padding)
 
         def bn_relu_d(x, occ, name):
             C = x.shape[-1]

@@ -1,4 +1,4 @@
-"""Z-chunked column-dense sparse 3D convolution — the round-2 fast LiDAR path.
+"""Z-chunked column-dense sparse 3D convolution — the fast LiDAR path.
 
 Replaces the per-voxel gather-GEMM (`ops/sparse_conv.py`) for the hot s0/s2
 stages of the LiDAR encoder (ref layers/blocks_3d/det3d/spconv_backbone.py:
@@ -8,28 +8,34 @@ it is a TPU design driven by measured v5e gather/scatter costs, PROFILE.md).
 Design
 ======
 A *slot* is an occupied (BEV column, z-chunk) cell, with z-chunks of CHUNK=4
-consecutive z levels. Features live as ``[B, S, 4, C]`` with zeros at absent
-z positions, plus an exact site-occupancy mask ``occ [B, S, 4]``. Slots are
-sorted by (column key = y·W+x, chunk) — the xy-major order the voxelizer
-emits — so a column's chunks are adjacent array rows.
+consecutive z levels. Slots are sorted by (column key = y·W+x, chunk) — the
+xy-major order the voxelizer emits — so a column's chunks are adjacent array
+rows.
+
+**Flat z-folded layout (round 3).** Features live as ``[B, S, 4·C]`` with
+the z position folded into the channel minor (lane index = zp·C + c) and an
+int32 occupancy bitmap ``occ_bits [B, S]``. The round-2 layout ``[B,S,4,C]``
+violated the (8,128) bf16 tile rule everywhere: with C ∈ {5,16,32,64} every
+elementwise op, gather output and window intermediate was lane-padded
+4–32× — a traced eval step spent ~900 of 1104 ms in padded
+fusion/copy/reshape traffic (PROFILE.md r3 trace: conv_input's case table
+was bf16[4,160001,3,6,5], 25× padded). In the flat layout every hot tensor
+keeps a ≥64-lane contiguous minor and z-window extraction is a lane slice.
 
 A 3³ submanifold conv at voxel (z,y,x) needs inputs from 9 xy-neighbor
-columns at z−1..z+1. Here the z dimension is *in-register*: per xy offset
-the conv gathers ONE *double-height halo row* per slot and the 3 z-taps
-become static slices feeding 27 batched matmuls on the MXU:
+columns at z−1..z+1. Here the z dimension is in-lane: per xy offset the conv
+gathers ONE *double-height halo row* per slot and the 3 z-taps become a
+banded weight feeding one batched matmul on the MXU:
 
   * The gather table ``[S+1, 10·C]`` holds, per slot (c,s), z ∈
-    [4s−1, 4s+8]: [z3 of (c,s−1) | own 4 | 4 of (c,s+1) | z0 of (c,s+2)].
-    It is built with pure array SHIFTS + masks (column-adjacent slots are
-    array-adjacent) — no scatter (measured 56 ns/row for narrow scatters vs
-    ~2 ns/row gathers on v5e).
+    [4s−1, 4s+8]: [z3 of (c,s−1) | own 4C | 4C of (c,s+1) | z0 of (c,s+2)]
+    as contiguous lanes. It is built with pure array SHIFTS + lane slices —
+    no scatter (measured 56 ns/row for narrow scatters vs ~2 ns/row gathers
+    on v5e).
   * Neighbor resolution is a dense packed column map (int32 =
     first-slot-index ≪ NCH | chunk-bitmap) + popcount, with a 3-way
     fallback: resolve chunk s, else s−1, else s+1. The 10-z row makes every
-    fallback exact: the (s−1) row still covers both window boundaries
-    [4s−1, 4s+4] (positions 4..9), and when s−1 is also empty the (s+1) row
-    covers the only remaining nonzero position (4s+4). Gather count:
-    9·S rows/conv instead of 27·V.
+    fallback exact. Gather count: 9·S rows/conv instead of 27·V.
 
 Backward: custom VJPs express grad-of-gather as *reverse-offset gathers*
 (the subm neighbor relation is symmetric under offset reversal; the strided
@@ -65,11 +71,11 @@ def _f0(x):
 class ChunkedSparseTensor(NamedTuple):
     """Batched z-chunked sparse voxel tensor with static slot capacity S."""
 
-    feats: jnp.ndarray   # [B, S, 4, C]; zeros at absent z positions
-    occ: jnp.ndarray     # [B, S, 4] bool — exact site occupancy
-    colkey: jnp.ndarray  # [B, S] int32 y·W+x; H·W sentinel on unused slots
-    chunk: jnp.ndarray   # [B, S] int32 z-chunk index; 0 on unused slots
-    valid: jnp.ndarray   # [B, S] bool
+    feats: jnp.ndarray     # [B, S, 4·C] flat z-folded; zeros at absent z
+    occ_bits: jnp.ndarray  # [B, S] int32 — bit zp set iff z site occupied
+    colkey: jnp.ndarray    # [B, S] int32 y·W+x; H·W sentinel on unused slots
+    chunk: jnp.ndarray     # [B, S] int32 z-chunk index; 0 on unused slots
+    valid: jnp.ndarray     # [B, S] bool
 
 
 class ChunkedTables(NamedTuple):
@@ -81,6 +87,28 @@ class ChunkedTables(NamedTuple):
     # colmap is None when tables come from the host planner
     # (data/topology_host.py) — then DownSites.rev carries the backward
     # resolve that the device VJP would otherwise derive from colmap.
+
+
+def zmask(occ_bits: jnp.ndarray, C: int, x: jnp.ndarray) -> jnp.ndarray:
+    """Zero lanes of absent z sites: x [..., 4·C] masked by occ_bits [...].
+
+    Computed from a lane iota so no [.., 4, C]-shaped (lane-padded) mask is
+    ever materialized — fuses into the consumer."""
+    zi = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) // C
+    return jnp.where(((occ_bits[..., None] >> zi) & 1) == 1, x, 0)
+
+
+def occ_of_bits(occ_bits: jnp.ndarray, dt=jnp.bool_) -> jnp.ndarray:
+    """occ_bits [B, S] → per-z occupancy [B, S, 4]."""
+    z4 = jnp.arange(CHUNK, dtype=jnp.int32)
+    o = (occ_bits[..., None] >> z4) & 1
+    return o.astype(dt)
+
+
+def bits_of_occ(occ: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] bool/int per-z occupancy → int32 bitmap."""
+    w = (1 << jnp.arange(CHUNK, dtype=jnp.int32))
+    return jnp.sum(occ.astype(jnp.int32) * w, axis=-1)
 
 
 def _column_arrays(colkey, chunk, valid, hw: int):
@@ -147,12 +175,13 @@ def chunked_from_voxels(
     flat = flat.at[gdest].set(
         feats.reshape(-1, C), mode="drop", unique_indices=True
     )
-    cf = flat.reshape(B, S + 1, CHUNK, C)[:, :S]
-    occf = jnp.zeros((B * (S + 1) * CHUNK,), jnp.int8)
-    occf = occf.at[gdest].set(
-        jnp.ones((B * V,), jnp.int8), mode="drop", unique_indices=True
+    cf = flat.reshape(B, S + 1, CHUNK * C)[:, :S]
+    bitsf = jnp.zeros((B * (S + 1),), jnp.int32)
+    bdest = jnp.where(keep, slot + boff * (S + 1), B * (S + 1) + 7)
+    bitsf = bitsf.at[bdest.reshape(-1)].add(
+        jnp.where(keep, 1 << zp, 0).reshape(-1), mode="drop"
     )
-    occ = occf.reshape(B, S + 1, CHUNK)[:, :S].astype(bool)
+    occ_bits = bitsf.reshape(B, S + 1)[:, :S]
 
     sOOB = B * (S + 1) + 7
     sdest = jnp.where(start & (slot < S), slot + boff * (S + 1), sOOB)
@@ -165,10 +194,11 @@ def chunked_from_voxels(
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nslot[:, None]
     colkey = jnp.where(valid, meta[..., 0], H * W)
     chunk = jnp.where(valid, meta[..., 1], 0)
-    return ChunkedSparseTensor(cf, occ & valid[..., None], colkey, chunk, valid)
+    occ_bits = jnp.where(valid, occ_bits, 0)
+    return ChunkedSparseTensor(cf, occ_bits, colkey, chunk, valid)
 
 
-def _resolve(pack, s, nch: int, S: int, nchm: jnp.ndarray | None = None):
+def _resolve(pack, s, nch: int, S: int):
     """Packed colmap value + target chunk s → (slot idx [S=miss], case).
 
     case 0: chunk s exists; 1: fall back to s−1; 2: fall back to s+1."""
@@ -242,19 +272,17 @@ def build_chunked_tables(
     )
 
 
-def _window_table(feats, occ, colkey, chunk, valid, with_occ: bool, dt):
-    """→ [B, S+1, 10·cw] double-height halo rows, built by pure shifts.
+def _window_table(feats, occ_bits, colkey, chunk, valid, with_occ: bool, dt):
+    """→ [B, S+1, 10·C (+10)] double-height halo rows, built by pure shifts
+    and lane slices (everything stays in the flat ≥64-lane minor layout).
 
-    Row o (slot (c, s)) covers z = 4s−1+q, q ∈ 0..9:
-    [z3 of (c,s−1) | own z0..z3 | z0..z3 of (c,s+1) | z0 of (c,s+2)].
-    Column-adjacent chunks are array-adjacent, so every piece is a shift of
-    the slot array with a same-column & chunk-delta mask. Row S is zero."""
-    B, S, _, C = feats.shape
-    cw = C + 1 if with_occ else C
-    src = feats.astype(dt)
-    if with_occ:
-        src = jnp.concatenate([src, occ.astype(dt)[..., None]], -1)
-    src = jnp.where(occ[..., None], src, 0.0)  # padding rows are zero
+    Lane block layout: [z3 of (c,s−1) : C | own 4C | 4C of (c,s+1) |
+    z0 of (c,s+2) : C]; covering z = 4s−1+q, q ∈ 0..9 at lanes q·C..q·C+C.
+    with_occ appends 10 occupancy lanes (values 0/1 in dt) at the tail —
+    window position p's occupancy at lane 10·C+p. Row S is zero."""
+    B, S, FC = feats.shape
+    C = FC // CHUNK
+    src = zmask(occ_bits, C, feats.astype(dt))  # padding/absent z are zero
 
     def shift(x, k):
         """x [B, S, ...] shifted so out[o] = x[o+k] (zeros rolled in)."""
@@ -274,44 +302,56 @@ def _window_table(feats, occ, colkey, chunk, valid, with_occ: bool, dt):
             return (ck_k == colkey) & (ch_k == chunk + k)
         return (ck_k == colkey) & (ch_k == chunk - 1)
 
-    m_prev = delta_mask(-1)
-    m_next1 = delta_mask(1)
-    m_next2 = delta_mask(2)
-    # z0 of (c, s+2): at o+1 when (c,s+1) is absent, else at o+2
+    m_prev = delta_mask(-1)[..., None]
+    m_next1 = delta_mask(1)[..., None]
+    m_next2 = delta_mask(2)[..., None]
+    # z0 of (c, s+2): at slot o+1 when (c,s+1) is absent, else at o+2
+    m1_is_s2 = (
+        (shift(colkey, 1) == colkey) & (shift(chunk, 1) == chunk + 2)
+    )[..., None]
+
     n1 = shift(src, 1)
     n2 = shift(src, 2)
-    m1_is_s2 = (shift(colkey, 1) == colkey) & (shift(chunk, 1) == chunk + 2)
-
-    halo_lo = jnp.where(m_prev[..., None], shift(src, -1)[:, :, 3], 0.0)
-    blk_next = jnp.where(m_next1[..., None, None], n1, 0.0)
+    halo_lo = jnp.where(m_prev, shift(src, -1)[:, :, 3 * C:4 * C], 0.0)
+    blk_next = jnp.where(m_next1, n1, 0.0)
     z_s2 = jnp.where(
-        m1_is_s2[..., None], n1[:, :, 0],
-        jnp.where(m_next2[..., None], n2[:, :, 0], 0.0),
+        m1_is_s2, n1[:, :, 0:C], jnp.where(m_next2, n2[:, :, 0:C], 0.0)
     )
-    rows = jnp.concatenate(
-        [halo_lo[:, :, None], src, blk_next, z_s2[:, :, None]], axis=2
-    )  # [B, S, 10, cw]
-    rows = jnp.where(valid[..., None, None], rows, 0.0)
-    rows = rows.reshape(B, S, ROWZ * cw)
+    pieces = [halo_lo, src, blk_next, z_s2]
+    if with_occ:
+        o4 = occ_of_bits(occ_bits, dt)  # [B, S, 4]
+        o1 = shift(o4, 1)
+        o_halo = jnp.where(m_prev, shift(o4, -1)[:, :, 3:4], 0.0)
+        o_next = jnp.where(m_next1, o1, 0.0)
+        o_s2 = jnp.where(
+            m1_is_s2, o1[:, :, 0:1],
+            jnp.where(m_next2, shift(o4, 2)[:, :, 0:1], 0.0),
+        )
+        pieces += [o_halo, o4, o_next, o_s2]
+    rows = jnp.concatenate(pieces, axis=2)
+    rows = jnp.where(valid[..., None], rows, 0.0)
     return jnp.concatenate(
-        [rows, jnp.zeros((B, 1, ROWZ * cw), rows.dtype)], axis=1
+        [rows, jnp.zeros((B, 1, rows.shape[2]), rows.dtype)], axis=1
     )
 
 
 def _case_view(tab, B, C):
     """Window table [B, S+1, 10·C] → case-resolved 6-z views
-    [B·(S+1)·3, 6·C], so one gather with index 3·row+case fetches the final
-    subm window (no per-case select on gathered data).
+    [B, (S+1)·3, 6·C], so one gather with index 3·row+case fetches the final
+    subm window (no per-case select on gathered data). All lane slices; the
+    (S+1, 3) merge leaves the minor dim untouched (free reshape).
 
-    View j covers window z positions p ∈ 0..5 at source-row offset
-    {0, +4, −4}: j=0 rows 0:6; j=1 rows 4:10; j=2 [0,0,0,0, rows 0:2]
-    (case-2 lower positions are provably empty — see `_resolve`)."""
-    t = tab.reshape(B, -1, ROWZ, C)
-    v0 = t[:, :, 0:6]
-    v1 = t[:, :, 4:10]
-    v2 = jnp.concatenate([jnp.zeros_like(t[:, :, 0:4]), t[:, :, 0:2]], 2)
-    v = jnp.stack([v0, v1, v2], axis=2)  # [B, S+1, 3, 6, C]
-    return v.reshape(B * t.shape[1] * 3, 6 * C)
+    View j covers window z positions p ∈ 0..5 at source-lane offset
+    {0, +4C, −4C}: j=0 lanes 0:6C; j=1 lanes 4C:10C; j=2 [zeros 4C,
+    lanes 0:2C] (case-2 lower positions are provably empty — `_resolve`)."""
+    Sp1 = tab.shape[1]
+    v0 = tab[:, :, 0:6 * C]
+    v1 = tab[:, :, 4 * C:10 * C]
+    v2 = jnp.concatenate(
+        [jnp.zeros_like(tab[:, :, 0:4 * C]), tab[:, :, 0:2 * C]], axis=2
+    )
+    v = jnp.stack([v0, v1, v2], axis=2)  # [B, S+1, 3, 6C]
+    return v.reshape(B, Sp1 * 3, 6 * C)
 
 
 def _band_weight(w3, C: int, co: int, window: int, zstride: int, dt):
@@ -335,15 +375,16 @@ def _band_weight(w3, C: int, co: int, window: int, zstride: int, dt):
 
 
 def _extract_subm_window(g, case, C):
-    """Gathered rows [S, 10, C] + per-row case → window [S, 6, C] covering
-    z = 4s−1+p, p ∈ 0..5. case0: q=p; case1 (row s−1): q=p+4;
-    case2 (row s+1): q=p−4 (p<4 → 0, those z's are provably empty)."""
-    w0 = g[:, 0:6]
-    w1 = g[:, 4:10]
+    """Gathered flat rows [N, 10·C] + per-row case → window [N, 6·C]
+    covering z = 4s−1+p, p ∈ 0..5 at lanes p·C. case0: lanes 0:6C;
+    case1 (row s−1): lanes 4C:10C; case2 (row s+1): [zeros 4C, lanes 0:2C]
+    (those lower z's are provably empty)."""
+    w0 = g[:, 0:6 * C]
+    w1 = g[:, 4 * C:10 * C]
     w2 = jnp.concatenate(
-        [jnp.zeros_like(g[:, 0:4]), g[:, 0:2]], axis=1
+        [jnp.zeros_like(g[:, 0:4 * C]), g[:, 0:2 * C]], axis=1
     )
-    c = case[:, None, None]
+    c = case[:, None]
     return jnp.where(c == 0, w0, jnp.where(c == 1, w1, w2))
 
 
@@ -364,12 +405,10 @@ _OFFS8 = tuple(o for o in range(9) if o != 4)  # non-center xy offsets
 def _use_case_view(S: int, C: int) -> bool:
     """Select-free subm path: gather from the 3-view case-resolved table
     (`_case_view`, idx = 3·row + case) instead of post-gather selects.
-    Trades a 1.8× bigger table build for no [8S,10,C] select pass. Only
+    Trades a 1.8× bigger table build for no post-gather select pass. Only
     pays when the per-sample 3-view table stays well under the measured
     ~75 MB gather-rate cliff ((S+1)·18·C·2 bytes). The auto threshold is
-    conservative (48 MB): the production s0 table lands at 69 MB — cliff-
-    adjacent and unmeasured — so it stays on the select path until the
-    A/B (experiments/mb_subm_ab.py) says otherwise.
+    conservative (48 MB); the A/B is experiments/mb_subm_ab.py.
     UNIDISTILL_SUBM_CASE_VIEW=0/1 overrides (perf experiments)."""
     import os
 
@@ -379,43 +418,42 @@ def _use_case_view(S: int, C: int) -> bool:
     return (S + 1) * 18 * C * 2 < 48 * 2**20
 
 
-def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
+def _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
                tables: ChunkedTables, dtype_str, reverse: bool = False):
-    """feats [B,S,4,Cin] → occ-masked [B,S,4,Cout].
+    """feats [B,S,4·Cin] flat → occ-masked [B,S,4·Cout] flat.
 
-    Flattened formulation: the per-(batch, offset) python loops of the first
-    round-2 build created 36 gathers + 108 einsums + pads/selects per conv,
-    measured ~76 ms/conv (s2 shape) with the Z-trick pad alone costing
-    ~128 ms/step (trace, PROFILE.md). Measured v5e facts that shape this
-    version (experiments/mb_table_cliff.py):
+    Flat formulation: per sample ONE [8·S] row gather from the [S+1, 10C]
+    window table, one lane-slice case select, one batched
+    [8, S, 6C] × [8, 6C, 4co] GEMM. Measured v5e facts that shape it
+    (experiments/mb_table_cliff.py, PROFILE.md):
 
       * row gathers run at ~3.8 ns/idx from tables ≤ ~75 MB and ~12.4 ns/idx
-        above ~110 MB — so the window table is gathered PER SAMPLE
-        ([S+1, 10C] bf16 stays ≤ 63 MB at every stage cap) rather than
-        batch-globally;
-      * index count is the wall (width/banding/zero-row-fraction barely
-        matter), so the center offset never gathers (identity rows) and the
-        whole z correlation folds into the weight (`_band_weight`): per
-        sample ONE [8·S] gather, one case select, one batched
-        [8, S, 6C] × [8, 6C, 4co] GEMM.
+        above ~110 MB — so the window table is gathered PER SAMPLE rather
+        than batch-globally;
+      * index count is the wall, so the center offset never gathers
+        (identity rows) and the whole z correlation folds into the weight
+        (`_band_weight`);
+      * minor dims stay ≥ 4·C contiguous lanes — no [.., 4, C] or
+        [.., 10, C] intermediates (the (8,128) bf16 tile pads those 4-32×,
+        which cost ~900 ms/step in the round-2 layout).
 
     reverse=True runs the offset-reversed conv (used by the VJP): xy offsets
     flip via o ↔ 8−o through the same tables, z taps via dz ↔ 2−dz."""
-    B, S, _, C = feats.shape
+    B, S, FC = feats.shape
+    C = FC // CHUNK
     co = weight.shape[-1]
     dt = jnp.dtype(dtype_str)
     w3 = _w_zyx(weight).astype(dt)
     if reverse:
         w3 = w3[::-1]  # z-tap flip; with the banded weight this reads
         # win[q]·w[2−(q−zi)] — exactly the reversed conv
-    tab = _window_table(feats, occ, colkey, chunk, valid, False, dt)
+    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt)
     W6 = _band_weight(w3, C, co, 6, 1, dt)        # [9, 6C, 4co]
 
     offs = np.asarray(_OFFS8)
     oo = (8 - offs) if reverse else offs          # gather-side offsets
     case_view = _use_case_view(S, C)
-    tabv = _case_view(tab, B, C).reshape(B, (S + 1) * 3, 6 * C) \
-        if case_view else None
+    tabv = _case_view(tab, B, C) if case_view else None
     accs = []
     for b in range(B):
         if case_view:
@@ -423,80 +461,73 @@ def _subm_impl(feats, occ, colkey, chunk, valid, weight, bias,
                   + tables.nbr_case[b][oo]).reshape(-1)
             win = tabv[b][i3].reshape(8, S, 6 * C)
         else:
-            g = tab[b][tables.nbr_idx[b][oo].reshape(-1)].reshape(
-                8 * S, ROWZ, C
-            )
+            g = tab[b][tables.nbr_idx[b][oo].reshape(-1)]
             win = _extract_subm_window(
                 g, tables.nbr_case[b][oo].reshape(-1), C
             ).reshape(8, S, 6 * C)
         accs.append(jnp.einsum("osw,owk->osk", win, W6[offs],
                                preferred_element_type=dt).sum(0))
-    acc = jnp.stack(accs).reshape(B * S, 4 * co)
+    acc = jnp.stack(accs).reshape(B, S, 4 * co)
 
-    # center offset: own table rows 0:6, case 0 by construction — no gather
-    gc = tab[:, :S].reshape(B, S, ROWZ, C)[:, :, 0:6].reshape(B * S, 6 * C)
+    # center offset: own table lanes 0:6C, case 0 by construction — no gather
+    gc = tab[:, :S, 0:6 * C].reshape(B * S, 6 * C)
     acc = acc + jnp.einsum("bw,wk->bk", gc, W6[4],
-                           preferred_element_type=dt)
-    out = acc.reshape(B, S, 4, co)
+                           preferred_element_type=dt).reshape(B, S, 4 * co)
     if bias is not None:
-        out = out + bias.astype(dt)
-    return jnp.where(occ[..., None], out, 0.0)
+        acc = acc + jnp.tile(bias.astype(dt), CHUNK)
+    return zmask(occ_bits, co, acc)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8,))
-def subm_conv_chunked(feats, occ, colkey, chunk, valid, weight, bias, tables,
-                      dtype_str: str):
-    """Submanifold 3³ conv in the chunked layout (spconv.SubMConv3d
+def subm_conv_chunked(feats, occ_bits, colkey, chunk, valid, weight, bias,
+                      tables, dtype_str: str):
+    """Submanifold 3³ conv in the flat chunked layout (spconv.SubMConv3d
     semantics: outputs on the same active set; absent neighbors read 0)."""
-    return _subm_impl(feats, occ, colkey, chunk, valid, weight, bias, tables,
-                      dtype_str)
+    return _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
+                      tables, dtype_str)
 
 
-def _subm_fwd(feats, occ, colkey, chunk, valid, weight, bias, tables,
+def _subm_fwd(feats, occ_bits, colkey, chunk, valid, weight, bias, tables,
               dtype_str):
-    out = _subm_impl(feats, occ, colkey, chunk, valid, weight, bias, tables,
-                     dtype_str)
-    return out, (feats, occ, colkey, chunk, valid, weight, bias is not None,
-                 tables)
+    out = _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
+                     tables, dtype_str)
+    return out, (feats, occ_bits, colkey, chunk, valid, weight,
+                 bias is not None, tables)
 
 
 def _subm_bwd(dtype_str, res, g):
     # The backward computes in the FORWARD dtype (bf16 in production, f32 in
-    # the oracle tests) with f32 GEMM accumulation — the hard-coded-f32
-    # version materialized [8·S, 6C] f32 windows per sample (≈600 MB at the
-    # s2 shape), which pushed the b4 train step ~5 GB past HBM (VERDICT r1).
-    feats, occ, colkey, chunk, valid, weight, has_bias, tables = res
-    B, S, _, C = feats.shape
+    # the oracle tests) with f32 GEMM accumulation.
+    feats, occ_bits, colkey, chunk, valid, weight, has_bias, tables = res
+    B, S, FC = feats.shape
+    C = FC // CHUNK
     co = weight.shape[-1]
     dt = jnp.dtype(dtype_str)
-    g = jnp.where(occ[..., None], g, 0.0).astype(dt)
+    g = zmask(occ_bits, co, g).astype(dt)
 
     # d feats: offset-reversed conv of g with W^T:
     #   out[v] = Σ_k W[k] f[v + k − 1]  ⇒  df[u] = Σ_k W[k]^T g[u − k + 1]
     wT = jnp.swapaxes(_w_zyx(weight), 3, 4).reshape(27, co, C)
     dfeats = _subm_impl(
-        g, occ, colkey, chunk, valid, wT.astype(dt), None, tables,
+        g, occ_bits, colkey, chunk, valid, wT.astype(dt), None, tables,
         dtype_str, reverse=True,
     ).astype(feats.dtype)
 
     # d weight / d bias: regather input windows (flat), one batched
     # outer-product GEMM, then fold the banded [9, 6C, 4co] gradient back
     # to the 27-tap parameter (the transpose of `_band_weight`)
-    tab = _window_table(feats, occ, colkey, chunk, valid, False, dt)
+    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt)
     offs = np.asarray(_OFFS8)
-    gf = g.reshape(B, S, 4 * co)
     dW8 = jnp.zeros((8, 6 * C, 4 * co), jnp.float32)
     for b in range(B):
-        g8 = tab[b][tables.nbr_idx[b][offs].reshape(-1)].reshape(
-            8 * S, ROWZ, C
-        )
+        g8 = tab[b][tables.nbr_idx[b][offs].reshape(-1)]
         win = _extract_subm_window(
             g8, tables.nbr_case[b][offs].reshape(-1), C
         ).reshape(8, S, 6 * C)
-        dW8 = dW8 + jnp.einsum("osw,sk->owk", win, gf[b],
+        dW8 = dW8 + jnp.einsum("osw,sk->owk", win, g[b],
                                preferred_element_type=jnp.float32)
-    gf = gf.reshape(B * S, 4 * co)
-    gc = tab[:, :S].reshape(B, S, ROWZ, C)[:, :, 0:6].reshape(B * S, 6 * C)
+    gf = g.reshape(B * S, 4 * co)
+    gc = tab[:, :S, 0:6 * C].reshape(B * S, 6 * C)
     dWc = jnp.einsum("bw,bk->wk", gc, gf, preferred_element_type=jnp.float32)
     dW9 = jnp.zeros((9, 6 * C, 4 * co), jnp.float32)
     dW9 = dW9.at[offs].set(dW8).at[4].set(dWc)
@@ -506,10 +537,11 @@ def _subm_bwd(dtype_str, res, g):
         for dz in range(3)
     ])  # [3, 9, C, co] z-major
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
-    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
-             .astype(weight.dtype) if has_bias else None)
-    return (dfeats, _f0(occ), _f0(colkey), _f0(chunk), _f0(valid), dweight,
-            dbias, jax.tree.map(_f0, tables))
+    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+             .reshape(CHUNK, co).sum(0).astype(weight.dtype)
+             if has_bias else None)
+    return (dfeats, _f0(occ_bits), _f0(colkey), _f0(chunk), _f0(valid),
+            dweight, dbias, jax.tree.map(_f0, tables))
 
 
 subm_conv_chunked.defvjp(_subm_fwd, _subm_bwd)
@@ -551,18 +583,19 @@ def chunked_from_host(
     hw: int,
 ) -> ChunkedSparseTensor:
     """Chunked tensor from the host planner's slot map: one row-gather per
-    slot-z site instead of the device-side scatter build (which cost
-    ~28 ms/step at s0 scale from (8,128) lane padding of C=5 rows)."""
+    slot-z site + one fold to the flat layout, instead of the device-side
+    scatter build (which cost ~28 ms/step at s0 scale)."""
     B, V, C = voxel_feats.shape
+    S = src0.shape[1]
     vf = jnp.concatenate(
         [voxel_feats, jnp.zeros((B, 1, C), voxel_feats.dtype)], axis=1
     ).reshape(B * (V + 1), C)
     gi = (src0.reshape(B, -1)
           + (jnp.arange(B, dtype=jnp.int32) * (V + 1))[:, None])
-    feats = vf[gi.reshape(-1)].reshape(B, -1, CHUNK, C)
+    feats = vf[gi.reshape(-1)].reshape(B, S, CHUNK * C)
     valid = ck < hw
-    occ = (src0 < V) & valid[..., None]
-    return ChunkedSparseTensor(feats, occ, ck, ch, valid)
+    occ_bits = jnp.where(valid, bits_of_occ(src0 < V), 0)
+    return ChunkedSparseTensor(feats, occ_bits, ck, ch, valid)
 
 
 def _resolve_exact(pack, s, nch: int, S: int):
@@ -708,72 +741,74 @@ def down2_sites(
     )
 
 
-def _down2_impl(feats, occ, colkey, chunk, valid, weight, bias, sites,
-                d_out: int, dtype_str):
-    """→ (out [B,S2,4,Cout], occ_out [B,S2,4]).
+def _down2_window_b(tab, sites, b, C, with_occ: bool):
+    """One sample's case-assembled down-conv windows, all flat lane slices.
 
-    Window positions p ∈ 0..8 ↔ input z = 8s−1+p. Row A (3-way resolve at
-    chunk 2s) and row B (exact chunk 2s+1) assemble the window:
-    case0: A[p]; case1: A[p+4] for p≤5 and B[p−4] for p≥6; case2: A[p−4]
-    for p≥4 (lower positions are provably empty)."""
-    B, S, _, C = feats.shape
+    tab: [S+1, 10·C (+10)] sample window table; returns
+    (w9 [9, S2, 9·C], o9 [9, S2, 9] or None) for window positions p ∈ 0..8
+    (input z = 8s−1+p). Row A (3-way resolve at chunk 2s) and row B (exact
+    chunk 2s+1): case0: A[p]; case1: A[p+4] for p≤5, B[p−4] for p≥6;
+    case2: A[p−4] for p≥4 (lower positions provably empty)."""
+    S2 = sites.colkey.shape[1]
+    A = tab[sites.nbr_a[b].reshape(-1)]   # [9·S2, 10C(+10)]
+    Br = tab[sites.nbr_b[b].reshape(-1)]
+    ca = sites.case_a[b].reshape(-1)[:, None]
+
+    def assemble(off, width_unit):
+        u = width_unit
+        w0 = A[:, off:off + 9 * u]
+        w1 = jnp.concatenate(
+            [A[:, off + 4 * u:off + 10 * u], Br[:, off + 2 * u:off + 5 * u]],
+            axis=1,
+        )
+        w2 = jnp.concatenate(
+            [jnp.zeros_like(A[:, off:off + 4 * u]),
+             A[:, off:off + 5 * u]], axis=1,
+        )
+        return jnp.where(ca == 0, w0, jnp.where(ca == 1, w1, w2))
+
+    w9 = assemble(0, C).reshape(9, S2, 9 * C)
+    o9 = assemble(10 * C, 1).reshape(9, S2, 9) if with_occ else None
+    return w9, o9
+
+
+def _down2_impl(feats, occ_bits, colkey, chunk, valid, weight, bias, sites,
+                d_out: int, dtype_str):
+    """→ (out [B,S2,4·Cout] flat, occ_bits_out [B,S2])."""
+    B, S, FC = feats.shape
+    C = FC // CHUNK
     S2 = sites.colkey.shape[1]
     co = weight.shape[-1]
     dt = jnp.dtype(dtype_str)
-    tab = _window_table(feats, occ, colkey, chunk, valid, True, dt)
-    cw = C + 1
-    w9, o9 = _down2_windows(tab, sites, B, S2, cw, dt)
+    tab = _window_table(feats, occ_bits, colkey, chunk, valid, True, dt)
     W9 = _band_weight(_w_zyx(weight).astype(dt), C, co, 9, 2, dt)
-    acc = jnp.einsum("obw,owk->obk", w9, W9,
-                     preferred_element_type=dt).sum(0)
-    out = acc.reshape(B, S2, 4, co)
+    accs, oms = [], []
+    for b in range(B):
+        w9, o9 = _down2_window_b(tab[b], sites, b, C, True)
+        accs.append(jnp.einsum("osw,owk->osk", w9, W9,
+                               preferred_element_type=dt).sum(0))
+        oms.append(o9.max(0))  # [S2, 9]
+    acc = jnp.stack(accs)        # [B, S2, 4co]
+    om = jnp.stack(oms)          # [B, S2, 9]
     # out-site occupancy: any occupied input at window p ∈ {2zi, 2zi+1, 2zi+2}
-    om = o9.max(0)  # [B·S2, 9]
-    oacc = jnp.stack([om[:, 2 * zi:2 * zi + 3].max(1) for zi in range(4)], 1)
-    occ_out = (oacc > 0.5).reshape(B, S2, 4) & sites.valid[..., None]
+    oacc = jnp.stack(
+        [om[:, :, 2 * zi:2 * zi + 3].max(2) for zi in range(CHUNK)], -1
+    )
+    occ_out = (oacc > 0.5) & sites.valid[..., None]
     # clip chunk-padding sites past the true out depth: for EVEN input
     # depth an input voxel at z = D-1 falls in the receptive field of
     # out z = D2 (outside the grid) — spconv never activates it
-    zsite = 4 * sites.chunk[..., None] + jnp.arange(CHUNK, dtype=jnp.int32)
+    zsite = CHUNK * sites.chunk[..., None] + jnp.arange(CHUNK, dtype=jnp.int32)
     occ_out = occ_out & (zsite < d_out)
+    occ_bits_out = bits_of_occ(occ_out)
     if bias is not None:
-        out = out + bias.astype(dt)
-    return jnp.where(occ_out[..., None], out, 0.0), occ_out
-
-
-def _down2_windows(tab, sites, B, S2, cw, dt):
-    """Flat-gathered, case-assembled down-conv windows.
-
-    Returns (w9 [9, B·S2, 9·C], o9 [9, B·S2, 9]) — feature windows and the
-    occupancy channel, for window positions p ∈ 0..8 (input z = 8s−1+p)."""
-    C = cw - 1
-    # per-sample gathers: the [S+1, 10·cw] table stays under the ~75 MB
-    # gather-rate cliff (batch-global would be 4x that, ~12 ns/idx)
-    As, Bs = [], []
-    for b in range(B):
-        As.append(tab[b][sites.nbr_a[b].reshape(-1)])
-        Bs.append(tab[b][sites.nbr_b[b].reshape(-1)])
-    A = jnp.stack(As).reshape(B, 9, S2, ROWZ, cw).transpose(1, 0, 2, 3, 4)
-    Br = jnp.stack(Bs).reshape(B, 9, S2, ROWZ, cw).transpose(1, 0, 2, 3, 4)
-    A = A.reshape(9, B * S2, ROWZ, cw)
-    Br = Br.reshape(9, B * S2, ROWZ, cw)
-    ca = sites.case_a.transpose(1, 0, 2).reshape(9, B * S2)[..., None, None]
-    w9 = jnp.where(
-        ca == 0, A[:, :, 0:9],
-        jnp.where(
-            ca == 1,
-            jnp.concatenate([A[:, :, 4:10], Br[:, :, 2:5]], axis=2),
-            jnp.concatenate(
-                [jnp.zeros_like(A[:, :, 0:4]), A[:, :, 0:5]], axis=2
-            ),
-        ),
-    )  # [9, B·S2, 9, cw]
-    return (w9[..., :C].reshape(9, B * S2, 9 * C), w9[..., C])
+        acc = acc + jnp.tile(bias.astype(dt), CHUNK)
+    return zmask(occ_bits_out, co, acc), occ_bits_out
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def down2_conv_chunked(
-    feats, occ, colkey, chunk, valid, weight, bias, sites, out_tables,
+    feats, occ_bits, colkey, chunk, valid, weight, bias, sites, out_tables,
     spatial_shape, out_spatial_shape, dtype_str: str,
 ):
     """Strided k3/s2/p1 sparse conv (spconv.SparseConv3d semantics: an out
@@ -782,18 +817,20 @@ def down2_conv_chunked(
     out_tables: the OUT stage's ChunkedTables (built from the DownSites
     skeleton; also reused by the following subm convs) — the VJP gathers
     from the output-grad window table through its colmap."""
-    out, occ_out = _down2_impl(feats, occ, colkey, chunk, valid, weight,
-                               bias, sites, out_spatial_shape[0], dtype_str)
-    return out, occ_out
+    out, occ_bits_out = _down2_impl(feats, occ_bits, colkey, chunk, valid,
+                                    weight, bias, sites,
+                                    out_spatial_shape[0], dtype_str)
+    return out, occ_bits_out
 
 
-def _down2_fwd(feats, occ, colkey, chunk, valid, weight, bias, sites,
+def _down2_fwd(feats, occ_bits, colkey, chunk, valid, weight, bias, sites,
                out_tables, spatial_shape, out_spatial_shape, dtype_str):
-    out, occ_out = _down2_impl(feats, occ, colkey, chunk, valid, weight,
-                               bias, sites, out_spatial_shape[0], dtype_str)
-    return (out, occ_out), (
-        feats, occ, colkey, chunk, valid, weight, bias is not None, sites,
-        out_tables, occ_out,
+    out, occ_bits_out = _down2_impl(feats, occ_bits, colkey, chunk, valid,
+                                    weight, bias, sites,
+                                    out_spatial_shape[0], dtype_str)
+    return (out, occ_bits_out), (
+        feats, occ_bits, colkey, chunk, valid, weight, bias is not None,
+        sites, out_tables, occ_bits_out,
     )
 
 
@@ -804,25 +841,25 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
     iff y = 2yo−1+ky (etc.) — per tap, yo = (y+1−ky)/2 exists only when the
     parity matches. For input chunk s, the needed out z range [2s, 2s+2]
     always fits ONE out window row (3-way resolved at out chunk s//2), at a
-    static position offset selected by the parity of s."""
-    (feats, occ, colkey, chunk, valid, weight, has_bias, sites, out_tables,
-     occ_out) = res
+    static position offset selected by the parity of s. The per-row window
+    position is folded as a predicated sum over the 10 static lane slices
+    (flat layout; no take_along_axis over a padded [., 10, co] view)."""
+    (feats, occ_bits, colkey, chunk, valid, weight, has_bias, sites,
+     out_tables, occ_bits_out) = res
     g, _g_occ = gs
     D, H, W = spatial_shape
     D2, H2, W2 = out_spatial_shape
     nch_out = _nch(D2)
-    B, S, _, C = feats.shape
-    S2 = occ_out.shape[1]
+    B, S, FC = feats.shape
+    C = FC // CHUNK
+    S2 = sites.colkey.shape[1]
     co = weight.shape[-1]
-    # backward computes in the forward dtype (f32 in the oracle tests, bf16
-    # in production) with f32 accumulation — see _subm_bwd
     dt = jnp.dtype(dtype_str)
-    g = jnp.where(occ_out[..., None], g, 0.0).astype(dt)
+    g = zmask(occ_bits_out, co, g).astype(dt)
     w = _w_zyx(weight).astype(dt)
-    boff = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    gtab = _window_table(g, occ_out, sites.colkey, sites.chunk, sites.valid,
-                         False, dt)
+    gtab = _window_table(g, occ_bits_out, sites.colkey, sites.chunk,
+                         sites.valid, False, dt)
 
     yc, xc = colkey // W, colkey % W  # per input slot
     spar = chunk % 2
@@ -833,7 +870,7 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
 
     gtabf = gtab.reshape(B * (S2 + 1), ROWZ * co)
     boff2 = (jnp.arange(B, dtype=jnp.int32) * (S2 + 1))[:, None]
-    df = jnp.zeros((B * S, 4, C), jnp.float32)
+    dcols = [jnp.zeros((B * S, C), jnp.float32) for _ in range(CHUNK)]
     wT = jnp.swapaxes(w, 3, 4)  # [kz, ky, kx, co, C]
     for o in range(9):
         ky, kx = o // 3, o % 3
@@ -853,59 +890,69 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
             bo = (jnp.arange(B, dtype=jnp.int32) * (H2 * W2 + 1))[:, None]
             pack = out_tables.colmap[(q + bo).reshape(-1)].reshape(B, S)
             row, case = _resolve(pack, t, nch_out, S2)
-        gr = gtabf[(row + boff2).reshape(-1)].reshape(B * S, ROWZ, co)
+        gr = gtabf[(row + boff2).reshape(-1)]  # [B·S, 10·co]
         # window base: q0(u) = u + 1 (s even) | u + 3 (s odd), then
         # case1: +4, case2: −4; out-of-range / missed rows read zero
         dq = jnp.where(case == 0, 0, jnp.where(case == 1, 4, -4))
         base_q = (1 + 2 * spar + dq).reshape(-1)
         row_ok = (row < S2).reshape(-1)
+        # predicated lane-slice sum per u (the select covers qq ∉ [0,9] → 0)
+        vals = {}
+        for u in sorted({(zi + 1 - kz) // 2 for zi, kz in zk}):
+            qq = base_q + u
+            acc_u = jnp.zeros((B * S, co), dt)
+            for q_ in range(ROWZ):
+                m = ((qq == q_) & row_ok)[:, None]
+                acc_u = acc_u + jnp.where(
+                    m, gr[:, q_ * co:(q_ + 1) * co], 0.0
+                )
+            vals[u] = acc_u
         for zi, kz in zk:
             u = (zi + 1 - kz) // 2
-            qq = base_q + u
-            okq = (qq >= 0) & (qq < ROWZ) & row_ok
-            qc = jnp.clip(qq, 0, ROWZ - 1)
-            val = jnp.take_along_axis(gr, qc[:, None, None], axis=1)[:, 0]
-            val = jnp.where(okq[:, None], val, 0.0)
-            df = df.at[:, zi, :].add(jnp.einsum(
-                "bo,oc->bc", val, wT[kz, ky, kx],
+            dcols[zi] = dcols[zi] + jnp.einsum(
+                "bo,oc->bc", vals[u], wT[kz, ky, kx],
                 preferred_element_type=jnp.float32,
-            ))
-    dfeats = jnp.where(
-        occ[..., None], df.reshape(B, S, 4, C), 0.0
-    ).astype(feats.dtype)
+            )
+    df = jnp.concatenate(dcols, axis=1).reshape(B, S, CHUNK * C)
+    dfeats = zmask(occ_bits, C, df).astype(feats.dtype)
 
     # d weight / d bias: regather forward windows (flat), one batched
     # outer-product GEMM, fold the banded gradient back (stride-2 band)
-    tab = _window_table(feats, occ, colkey, chunk, valid, True, dt)
-    w9f, _o9 = _down2_windows(tab, sites, B, S2, C + 1, dt)
-    gf = g.reshape(B * S2, 4 * co)
-    dW9 = jnp.einsum("obw,bk->owk", w9f, gf,
-                     preferred_element_type=jnp.float32)
+    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt)
+    dW9 = jnp.zeros((9, 9 * C, 4 * co), jnp.float32)
+    for b in range(B):
+        w9f, _ = _down2_window_b(tab[b], sites, b, C, False)
+        dW9 = dW9 + jnp.einsum("osw,sk->owk", w9f, g[b],
+                               preferred_element_type=jnp.float32)
     dW9 = dW9.reshape(9, 9, C, 4, co)
     dw = jnp.stack([
         sum(dW9[:, 2 * zi + kz, :, zi, :] for zi in range(4))
         for kz in range(3)
     ])  # [3, 9, C, co] z-major
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
-    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
-             .astype(weight.dtype) if has_bias else None)
-    return (dfeats, _f0(occ), _f0(colkey), _f0(chunk), _f0(valid), dweight,
-            dbias, jax.tree.map(_f0, sites), jax.tree.map(_f0, out_tables))
+    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+             .reshape(CHUNK, co).sum(0).astype(weight.dtype)
+             if has_bias else None)
+    return (dfeats, _f0(occ_bits), _f0(colkey), _f0(chunk), _f0(valid),
+            dweight, dbias, jax.tree.map(_f0, sites),
+            jax.tree.map(_f0, out_tables))
 
 
 down2_conv_chunked.defvjp(_down2_fwd, _down2_bwd)
 
 
 def chunked_to_dense(st: ChunkedSparseTensor, spatial_shape):
-    """→ dense chunk-FOLDED [B, H, W, NCH, 4·C] + occ [B, H, W, NCH, 4].
+    """→ dense chunk-FOLDED [B, H, W, NCH, 4·C] + z-outer occupancy
+    [B, NCH·4, H, W] bool.
 
     The 4·C channel fold (z-position-major, channel = zp·C + c) keeps the
-    minor dim ≥128 for C=32: a [.., NCH·4, C] layout would be lane-padded
-    4× by the (8,128) bf16 tile (an 11.9 GB tensor at the s2 shape — OOM,
-    PROFILE.md)."""
+    minor dim ≥128 for C=32 (the flat slot layout already stores features
+    this way — the scatter rows copy straight through). Occupancy is
+    scattered as one int8 bitmap per slot and unpacked on the (cheap,
+    well-laid-out) dense side."""
     D, H, W = spatial_shape
     nch = _nch(D)
-    B, S, _, C = st.feats.shape
+    B, S, FC = st.feats.shape
     boff = jnp.arange(B, dtype=jnp.int32)[:, None]
     span = H * W * nch
     OOB = B * span + 7  # fully out of bounds — no in-band dump row, so the
@@ -914,16 +961,19 @@ def chunked_to_dense(st: ChunkedSparseTensor, spatial_shape):
     dest = jnp.where(
         st.valid, st.colkey * nch + st.chunk + boff * span, OOB
     ).reshape(-1)
-    flat = jnp.zeros((B * span, 4 * C), st.feats.dtype)
+    flat = jnp.zeros((B * span, FC), st.feats.dtype)
     flat = flat.at[dest].set(
-        st.feats.reshape(B * S, 4 * C), mode="drop", unique_indices=True
+        st.feats.reshape(B * S, FC), mode="drop", unique_indices=True
     )
-    dense = flat.reshape(B, H, W, nch, 4 * C)
-    oflat = jnp.zeros((B * span, 4), jnp.int8)
+    dense = flat.reshape(B, H, W, nch, FC)
+    oflat = jnp.zeros((B * span,), jnp.int8)
     oflat = oflat.at[dest].set(
-        st.occ.reshape(B * S, 4).astype(jnp.int8), mode="drop",
+        st.occ_bits.reshape(-1).astype(jnp.int8), mode="drop",
         unique_indices=True,
     )
-    occ = oflat.reshape(B, H, W, nch, 4).astype(bool)
-    return dense, occ
-
+    obits = jnp.transpose(
+        oflat.reshape(B, H, W, nch), (0, 3, 1, 2)
+    )  # [B, nch, H, W] int8 — tiny
+    z4 = jnp.arange(CHUNK, dtype=jnp.int8)[None, None, :, None, None]
+    occz = ((obits[:, :, None] >> z4) & 1).astype(bool)
+    return dense, occz.reshape(B, nch * CHUNK, H, W)
