@@ -248,10 +248,14 @@ extern "C" {
 
 // Plans one frame's full chunked-encoder topology (stages s0, s2, s3).
 // coords: [V, 3] int32 (z, y, x), -1 padding, key-sorted. Outputs are
-// caller-allocated with the shapes in topology_host.plan_frame_topology.
-// Returns 0 on success.
-int32_t plan_frame_topology_native(
-    const int32_t* coords, int64_t V, int32_t nx, int32_t ny, int32_t nz,
+// caller-allocated with the shapes in topology_host.plan_frame_topology
+// (s0 arrays sized S0cap). Slots past S0cap are dropped BEFORE table
+// building, so tables see the cut voxels as absent — identical to the
+// device build at the same slot_cap. Returns the dropped-slot count (>= 0)
+// or -1 on error.
+int32_t plan_frame_topology_native_v2(
+    const int32_t* coords, int64_t V, int32_t S0cap,
+    int32_t nx, int32_t ny, int32_t nz,
     int32_t S2, int32_t S3,
     int32_t* ck0, int32_t* ch0, int32_t* src0 /* [S0*4] */,
     int32_t* nbr0 /* [9*S0] */,
@@ -264,9 +268,9 @@ int32_t plan_frame_topology_native(
   s0.D = nz + 1; s0.H = ny; s0.W = nx;
   s2.D = (s0.D - 1) / 2 + 1; s2.H = (s0.H - 1) / 2 + 1; s2.W = (s0.W - 1) / 2 + 1;
   s3.D = (s2.D - 1) / 2 + 1; s3.H = (s2.H - 1) / 2 + 1; s3.W = (s2.W - 1) / 2 + 1;
-  if (nch_of(s2.D) > 8 || nch_of(s3.D) > 8) return 1;  // 3-bit chunk packing
+  if (nch_of(s2.D) > 8 || nch_of(s3.D) > 8) return -1;  // 3-bit chunk packing
 
-  int32_t S0 = (int32_t)V;
+  int32_t S0 = S0cap;
   int64_t hw0 = (int64_t)s0.H * s0.W;
 
   // slot skeleton + voxel -> slot-z source map
@@ -274,6 +278,8 @@ int32_t plan_frame_topology_native(
   s0.chunk.assign(S0, 0);
   std::fill(src0, src0 + (int64_t)S0 * CHUNK, S0);
   s0.n_valid = 0;
+  int32_t n_dropped = 0;
+  bool cur_kept = false;
   int64_t prev_ck = -1;
   int32_t prev_ch = -1;
   for (int64_t v = 0; v < V; ++v) {
@@ -282,13 +288,19 @@ int32_t plan_frame_topology_native(
     int64_t ck = (int64_t)y * s0.W + x;
     int32_t ch = z / CHUNK, zp = z % CHUNK;
     if (ck != prev_ck || ch != prev_ch) {
-      s0.colkey[s0.n_valid] = (int32_t)ck;
-      s0.chunk[s0.n_valid] = ch;
-      ++s0.n_valid;
+      if (s0.n_valid < S0) {
+        s0.colkey[s0.n_valid] = (int32_t)ck;
+        s0.chunk[s0.n_valid] = ch;
+        ++s0.n_valid;
+        cur_kept = true;
+      } else {
+        ++n_dropped;
+        cur_kept = false;
+      }
       prev_ck = ck;
       prev_ch = ch;
     }
-    src0[(int64_t)(s0.n_valid - 1) * CHUNK + zp] = (int32_t)v;
+    if (cur_kept) src0[(int64_t)(s0.n_valid - 1) * CHUNK + zp] = (int32_t)v;
   }
 
   build_colmap(s0, &g_cm0);
@@ -313,7 +325,22 @@ int32_t plan_frame_topology_native(
   std::memcpy(ch2, s2.chunk.data(), (size_t)S2 * 4);
   std::memcpy(ck3, s3.colkey.data(), (size_t)S3 * 4);
   std::memcpy(ch3, s3.chunk.data(), (size_t)S3 * 4);
-  return 0;
+  return n_dropped;
+}
+
+// Back-compat entry (no s0 slot cap): 0 on success, 1 on error.
+int32_t plan_frame_topology_native(
+    const int32_t* coords, int64_t V, int32_t nx, int32_t ny, int32_t nz,
+    int32_t S2, int32_t S3,
+    int32_t* ck0, int32_t* ch0, int32_t* src0, int32_t* nbr0,
+    int32_t* ck2, int32_t* ch2, int32_t* a2, int32_t* b2, int32_t* nbr2,
+    int32_t* rev2,
+    int32_t* ck3, int32_t* ch3, int32_t* a3, int32_t* b3, int32_t* nbr3,
+    int32_t* rev3) {
+  int32_t rc = plan_frame_topology_native_v2(
+      coords, V, (int32_t)V, nx, ny, nz, S2, S3, ck0, ch0, src0, nbr0, ck2,
+      ch2, a2, b2, nbr2, rev2, ck3, ch3, a3, b3, nbr3, rev3);
+  return rc < 0 ? 1 : 0;
 }
 
 }  // extern "C"

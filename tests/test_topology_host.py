@@ -173,3 +173,48 @@ def test_native_planner_matches_numpy():
         assert set(got) == set(ref)
         for k in ref:
             np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_s0_slot_cap_matches_device_truncation():
+    """With a binding s0 slot cap, the host planner must equal the device
+    build at the same slot_cap — tables built on the CAPPED skeleton (cut
+    voxels look absent), not post-truncated — and report the drop count.
+    Covers both the numpy spec and (when built) the C++ v2 entry."""
+    from unidistill_tpu.data.native import plan_frame_topology_native
+    from unidistill_tpu.data.topology_host import plan_frame_topology_numpy
+
+    grid = (16, 12, 11)
+    s0, s2, s3 = _stage_shapes(grid)
+    rng = np.random.RandomState(3)
+    feats, coords = _random_voxels(rng, s0, 60, 5, 64, B=1)
+    S2, S3 = 32, 16
+    CAP = 24
+
+    st = chunked_from_voxels(feats, coords, s0, slot_cap=CAP)
+    tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
+    sites2 = down2_sites(st.colkey, st.chunk, st.valid, tb0, s0, s2, S2)
+
+    planners = [("numpy", plan_frame_topology_numpy)]
+    if plan_frame_topology_native(
+        np.asarray(coords[0]), grid, (S2, S3)
+    ) is not None:
+        planners.append(("native", plan_frame_topology_native))
+    for name, planner in planners:
+        topo = planner(np.asarray(coords[0]), grid, (S2, S3), s0_cap=CAP)
+        assert topo["ck0"].shape == (CAP,), name
+        np.testing.assert_array_equal(
+            topo["ck0"], np.asarray(st.colkey[0]), err_msg=name)
+        np.testing.assert_array_equal(
+            topo["ch0"], np.asarray(st.chunk[0]), err_msg=name)
+        np.testing.assert_array_equal(
+            topo["nbr0"] >> 2, np.asarray(tb0.nbr_idx[0]), err_msg=name)
+        np.testing.assert_array_equal(
+            topo["a2"] >> 2, np.asarray(sites2.nbr_a[0]), err_msg=name)
+        np.testing.assert_array_equal(
+            topo["b2"], np.asarray(sites2.nbr_b[0]), err_msg=name)
+        n_slots_uncapped = int(
+            planner(np.asarray(coords[0]), grid, (S2, S3))["ck0"]
+            .__lt__(s0[1] * s0[2]).sum()
+        )
+        assert int(topo["s0_dropped"]) == max(0, n_slots_uncapped - CAP), name
+        assert int(topo["s0_dropped"]) > 0, name  # the cap must bind here

@@ -86,6 +86,16 @@ class LidarEncoderConfig:
     # outputs (strides 2, 4, 8, and the final (2,1,1)-z fold). The stride-1
     # stage's cap is the voxelizer's max_voxels — no separate knob (TPU-only).
     stage_voxel_caps: Tuple[int, ...] = (98304, 65536, 32768, 32768)
+    # Stride-1 stage (column, z-chunk) slot cap (TPU-only knob). Every s0
+    # cost (window tables, 8-offset gathers, BN) scales with the slot count,
+    # and the case-view subm path needs its 3-view table under the ~80 MB
+    # VMEM gather cliff: S=131072 ⇒ 75.5 MB (2× faster than the select path
+    # at that size) vs S=160000 ⇒ 92 MB (2× SLOWER — measured,
+    # experiments/mb_gather_flags.py). Realistic 10-sweep clouds occupy
+    # ≤ ~113k slots at the 120k train voxel cap (occupancy_profile.py), so
+    # the cap binds only on eval frames where the 160k voxel cap is nearly
+    # binding too (≈1.09 voxels/slot); the host planner reports bind counts.
+    s0_slot_cap: int = 131072
     # BEV-column caps per voxel set (stage outputs s0, s2, s3, s4, s5) for
     # the sort-free column/zslot neighbor tables (TPU-only; voxels in
     # columns beyond the cap lose neighbor resolution)

@@ -279,7 +279,8 @@ class NuScenesDataset:
                 )
 
                 topo = plan_frame_topology(
-                    vc, mcfg.grid_size, mcfg.lidar_encoder.stage_voxel_caps
+                    vc, mcfg.grid_size, mcfg.lidar_encoder.stage_voxel_caps,
+                    s0_cap=mcfg.lidar_encoder.s0_slot_cap,
                 )
                 out.update({f"topo_{k}": v for k, v in topo.items()})
 

@@ -87,6 +87,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_frame_topology_native.argtypes = (
             [i32p, ctypes.c_int64] + [ctypes.c_int32] * 5 + [i32p] * 16
         )
+    if hasattr(lib, "plan_frame_topology_native_v2"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.plan_frame_topology_native_v2.restype = ctypes.c_int32
+        lib.plan_frame_topology_native_v2.argtypes = (
+            [i32p, ctypes.c_int64] + [ctypes.c_int32] * 6 + [i32p] * 16
+        )
     if hasattr(lib, "voxelize_mean_sorted_native"):
         fp = ctypes.POINTER(ctypes.c_float)
         lib.voxelize_mean_sorted_native.restype = ctypes.c_int64
@@ -260,17 +266,19 @@ def voxelize_mean_sorted_native(
     return feats, coords
 
 
-def plan_frame_topology_native(coords: np.ndarray, grid_size, stage_caps):
+def plan_frame_topology_native(coords: np.ndarray, grid_size, stage_caps,
+                               s0_cap=None):
     """C++ chunked-encoder topology planner (runtime/topology.cc) — exact to
     the integer vs the numpy planner (topology_host.plan_frame_topology);
     ~20x faster per frame. Returns None when the library is unavailable or
-    lacks the symbol (caller falls back to numpy)."""
+    lacks the needed symbol (caller falls back to numpy)."""
     lib = _load()
-    if lib is None or not hasattr(lib, "plan_frame_topology_native"):
+    if lib is None or not hasattr(lib, "plan_frame_topology_native_v2"):
         return None
     coords = np.ascontiguousarray(coords, np.int32)
     V = coords.shape[0]
-    S0, (S2, S3) = V, (int(stage_caps[0]), int(stage_caps[1]))
+    S0 = V if s0_cap is None else min(V, int(s0_cap))
+    S2, S3 = int(stage_caps[0]), int(stage_caps[1])
     nx, ny, nz = (int(g) for g in grid_size)
     out = {
         "ck0": np.empty(S0, np.int32), "ch0": np.empty(S0, np.int32),
@@ -286,16 +294,17 @@ def plan_frame_topology_native(coords: np.ndarray, grid_size, stage_caps):
     def p(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
-    rc = lib.plan_frame_topology_native(
-        p(coords), V, nx, ny, nz, S2, S3,
+    rc = lib.plan_frame_topology_native_v2(
+        p(coords), V, S0, nx, ny, nz, S2, S3,
         p(out["ck0"]), p(out["ch0"]), p(out["src0"]), p(out["nbr0"]),
         p(out["ck2"]), p(out["ch2"]), p(out["a2"]), p(out["b2"]),
         p(out["nbr2"]), p(out["rev2"]),
         p(out["ck3"]), p(out["ch3"]), p(out["a3"]), p(out["b3"]),
         p(out["nbr3"]), p(out["rev3"]),
     )
-    if rc != 0:
+    if rc < 0:
         return None
+    out["s0_dropped"] = np.int32(rc)
     return out
 
 

@@ -252,30 +252,40 @@ def plan_frame_topology(
     coords: np.ndarray,       # [V, 3] int32 (z, y, x), -1 padding, key-sorted
     grid_size,
     stage_caps,               # cfg.lidar_encoder.stage_voxel_caps
+    s0_cap: int | None = None,  # cfg.lidar_encoder.s0_slot_cap
 ) -> Dict[str, np.ndarray]:
     """One frame's full chunked-encoder topology (stages s0, s2, s3).
 
     Dispatches to the C++ planner (runtime/topology.cc, ~20x faster) when
     the shared library is built; the numpy implementation below is the
     executable spec and fallback. Integer-exact equivalence is asserted in
-    tests/test_topology_host.py."""
+    tests/test_topology_host.py.
+
+    s0_cap truncates the stride-1 slot skeleton BEFORE table building, so
+    all tables see the capped voxel set as simply absent — byte-identical
+    to the device build at the same slot_cap. The `s0_dropped` output
+    counts valid slots the cap cut (0 on realistic clouds; the bench/
+    metrics layer can sum it to audit the deviation)."""
     from unidistill_tpu.data import native
 
-    out = native.plan_frame_topology_native(coords, grid_size, stage_caps)
-    if out is not None:
-        return out
-    return plan_frame_topology_numpy(coords, grid_size, stage_caps)
+    out = native.plan_frame_topology_native(coords, grid_size, stage_caps,
+                                            s0_cap=s0_cap)
+    if out is None:
+        out = plan_frame_topology_numpy(coords, grid_size, stage_caps,
+                                        s0_cap=s0_cap)
+    return out
 
 
 def plan_frame_topology_numpy(
     coords: np.ndarray,
     grid_size,
     stage_caps,
+    s0_cap: int | None = None,
 ) -> Dict[str, np.ndarray]:
     """Pure-numpy planner (the executable spec for the C++ version)."""
     s0, s2, s3 = _stage_shapes(grid_size)
     V = coords.shape[0]
-    S0 = V
+    S0 = V if s0_cap is None else min(V, int(s0_cap))
     S2, S3 = int(stage_caps[0]), int(stage_caps[1])
     D, H, W = s0
 
@@ -290,18 +300,20 @@ def plan_frame_topology_numpy(
     start[1:] &= (ck[1:] != ck[:-1]) | (ch[1:] != ch[:-1])
     start[0] = bool(ok[0])
     slot = np.cumsum(start) - 1
-    slot = np.where(ok, slot, S0)
+    keep = ok & (slot < S0)  # voxels past the slot cap are simply absent
+    slot = np.where(keep, slot, S0)
 
     colkey0 = np.full(S0, H * W, np.int32)
     chunk0 = np.zeros(S0, np.int32)
-    n0 = int(start.sum())
-    colkey0[:n0] = ck[start]
-    chunk0[:n0] = ch[start]
+    n_start = int(start.sum())
+    n0 = min(n_start, S0)
+    colkey0[:n0] = ck[start][:n0]
+    chunk0[:n0] = ch[start][:n0]
     valid0 = colkey0 < H * W
 
     # voxel → slot-z feature source map ([S0, 4]; V = miss → zero row)
     src0 = np.full((S0, CHUNK), V, np.int32)
-    vi = np.nonzero(ok)[0]
+    vi = np.nonzero(keep)[0]
     src0[slot[vi], zp[vi]] = vi.astype(np.int32)
 
     cm0 = _ColMap(colkey0, chunk0, valid0)
@@ -323,4 +335,5 @@ def plan_frame_topology_numpy(
         "nbr2": nbr2, "rev2": rev2,
         "ck3": colkey3.astype(np.int32), "ch3": chunk3, "a3": a3, "b3": b3,
         "nbr3": nbr3, "rev3": rev3,
+        "s0_dropped": np.int32(max(0, n_start - S0)),
     }

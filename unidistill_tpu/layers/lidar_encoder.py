@@ -230,12 +230,19 @@ class MaskedBatchNormZ(nn.Module):
 
 class _SubMConvChunked(nn.Module):
     """Submanifold 3³ conv in the flat chunked layout; params match
-    `_SubMConv`."""
+    `_SubMConv`.
+
+    cin_pad widens the INPUT channel axis with zero weight columns so the
+    window-table rows stay ≥128 B: at the raw 5-channel input the fused
+    gather+select ran on 60 B rows at ~22 ms/sample·conv vs ~4 ms at 16
+    channels (r3 trace, PROFILE.md). Params keep the true cin (checkpoint
+    parity); the zero columns receive zero gradient through the pad."""
 
     cin: int
     cout: int
     use_bias: bool
     dtype: Any = jnp.bfloat16
+    cin_pad: int = 0
 
     @nn.compact
     def __call__(self, feats, occ_bits, ck, ch, vd, tables):
@@ -244,6 +251,10 @@ class _SubMConvChunked(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.cout,))
             if self.use_bias else None
         )
+        if self.cin_pad > self.cin:
+            w = jnp.zeros((27, self.cin_pad, self.cout), w.dtype).at[
+                :, : self.cin
+            ].set(w)
         return subm_conv_chunked(
             feats, occ_bits, ck, ch, vd, w, b, tables,
             jnp.dtype(self.dtype).name
@@ -405,34 +416,35 @@ class _FoldConv3d(nn.Module):
         w3 = w.reshape(3, 3, 3, self.cin, self.cout)
         sz, sy, sx = self.stride
         pz, py, px = self.padding
-        Ho = (H + 2 * py - 3) // sy + 1
-        Wo = (W + 2 * px - 3) // sx + 1
-        planes = []
+        # ONE conv for every output plane: the z-window structure lives in a
+        # big channel-matrix weight [3, 3, NCH·4·cin, d_out·cout] (zeros
+        # where a plane's window misses a z position). The earlier per-plane
+        # formulation spent ~25 ms/step in slice/reshape copies of the
+        # folded input at the down4 shape (r3 trace); this reads it once.
+        # The ≤1.5× zero-weight FLOP waste is free — the conv is
+        # bandwidth-bound at these shapes.
+        wbig = jnp.zeros(
+            (3, 3, NCH * 4 * self.cin, self.d_out * self.cout), w.dtype
+        )
         for zo in range(self.d_out):
-            zs = [sz * zo - pz + kz for kz in range(3)]
-            zs_v = [z for z in zs if 0 <= z < self.d_in]
-            if not zs_v:
-                planes.append(jnp.zeros((B, Ho, Wo, self.cout), self.dtype))
-                continue
-            c_lo, c_hi = zs_v[0] // 4, zs_v[-1] // 4
-            nchw = c_hi - c_lo + 1
-            wz = jnp.zeros((3, 3, nchw * 4 * self.cin, self.cout), w.dtype)
-            for kz, z in enumerate(zs):
+            for kz in range(3):
+                z = sz * zo - pz + kz
                 if not (0 <= z < self.d_in):
                     continue
-                pos = ((z // 4) - c_lo) * 4 * self.cin + (z % 4) * self.cin
-                wz = wz.at[:, :, pos:pos + self.cin, :].set(w3[kz])
-            xin = x[:, :, :, c_lo:c_hi + 1].reshape(
-                B, H, W, nchw * 4 * self.cin
-            )
-            planes.append(
-                jax.lax.conv_general_dilated(
-                    xin.astype(self.dtype), wz.astype(self.dtype),
-                    window_strides=(sy, sx), padding=[(py, py), (px, px)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-            )
-        return jnp.stack(planes, axis=3)  # [B, Ho, Wo, d_out, cout]
+                pos = (z // 4) * 4 * self.cin + (z % 4) * self.cin
+                wbig = wbig.at[
+                    :, :, pos:pos + self.cin,
+                    zo * self.cout:(zo + 1) * self.cout,
+                ].set(w3[kz])
+        xin = x.reshape(B, H, W, NCH * 4 * self.cin)
+        y = jax.lax.conv_general_dilated(
+            xin.astype(self.dtype), wbig.astype(self.dtype),
+            window_strides=(sy, sx), padding=[(py, py), (px, px)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y.reshape(
+            B, y.shape[1], y.shape[2], self.d_out, self.cout
+        )  # channel order zo·cout + c — identical to the per-plane stack
 
 
 class _Down2Chunked(nn.Module):
@@ -483,6 +495,14 @@ class VoxelResBackBone8x(nn.Module):
         dt = self.dtype
         B = feats.shape[0]
 
+        # widen the 5-channel voxel features to 16 BEFORE building the flat
+        # layout: every s0 hot tensor (slot build gather, window rows) then
+        # keeps ≥128 B contiguous rows (see _SubMConvChunked.cin_pad)
+        cin = feats.shape[-1]
+        cin_pad = 16 if cin < 16 else cin
+        if cin_pad != cin:
+            feats = jnp.pad(feats, ((0, 0), (0, 0), (0, cin_pad - cin)))
+
         if topo is not None:
             st = chunked_from_host(
                 feats.astype(dt), topo["src0"], topo["ck0"], topo["ch0"],
@@ -490,13 +510,16 @@ class VoxelResBackBone8x(nn.Module):
             )
             tb0 = tables_from_host(topo["nbr0"])
         else:
-            st = chunked_from_voxels(feats.astype(dt), coords, s0)
+            st = chunked_from_voxels(
+                feats.astype(dt), coords, s0,
+                slot_cap=min(feats.shape[1], self.cfg.s0_slot_cap),
+            )
             tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
 
         def bn_relu_ch(f, occ_bits, name):
             return nn.relu(MaskedBatchNormZ(name=name)(f, occ_bits, train))
 
-        f = _SubMConvChunked(feats.shape[-1], 16, False, dt,
+        f = _SubMConvChunked(cin, 16, False, dt, cin_pad=cin_pad,
                              name="conv_input")(
             st.feats, st.occ_bits, st.colkey, st.chunk, st.valid, tb0)
         f = bn_relu_ch(f, st.occ_bits, "bn_input")

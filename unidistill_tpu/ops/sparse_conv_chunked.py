@@ -89,6 +89,21 @@ class ChunkedTables(NamedTuple):
     # resolve that the device VJP would otherwise derive from colmap.
 
 
+def rowgather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """[R, L] table row gather at idx [N] → [N, L], PROMISE_IN_BOUNDS.
+
+    Every chunked-table index is in [0, R) by construction (miss = the
+    all-zero row R−1); skipping the bounds clamp measured ~10% faster at
+    stage shapes (experiments/mb_gather_flags.py)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    return jax.lax.gather(
+        table, idx[:, None], dn, slice_sizes=(1, table.shape[1]),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 def zmask(occ_bits: jnp.ndarray, C: int, x: jnp.ndarray) -> jnp.ndarray:
     """Zero lanes of absent z sites: x [..., 4·C] masked by occ_bits [...].
 
@@ -415,7 +430,12 @@ def _use_case_view(S: int, C: int) -> bool:
     env = os.environ.get("UNIDISTILL_SUBM_CASE_VIEW", "auto")
     if env in ("0", "1"):
         return env == "1"
-    return (S + 1) * 18 * C * 2 < 48 * 2**20
+    # measured A/B (experiments/mb_subm_r3.py + mb_gather_flags.py, v5e):
+    #   s0 S=131072 C=16 (75.5 MB 3-view): case-view 14.6 vs select 26.8 ms
+    #   s0 S=160000 C=16 (92 MB):          case-view 64.3 vs select 33.0 ms
+    #   s2 S=98304  C=32 (113 MB):         case-view 53.0 vs select 25.3 ms
+    # → the win flips exactly at the ~80 MB VMEM-residency cliff
+    return (S + 1) * 18 * C * 2 < 78 * 2**20
 
 
 def _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
@@ -459,9 +479,9 @@ def _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
         if case_view:
             i3 = (tables.nbr_idx[b][oo] * 3
                   + tables.nbr_case[b][oo]).reshape(-1)
-            win = tabv[b][i3].reshape(8, S, 6 * C)
+            win = rowgather(tabv[b], i3).reshape(8, S, 6 * C)
         else:
-            g = tab[b][tables.nbr_idx[b][oo].reshape(-1)]
+            g = rowgather(tab[b], tables.nbr_idx[b][oo].reshape(-1))
             win = _extract_subm_window(
                 g, tables.nbr_case[b][oo].reshape(-1), C
             ).reshape(8, S, 6 * C)
@@ -520,7 +540,7 @@ def _subm_bwd(dtype_str, res, g):
     offs = np.asarray(_OFFS8)
     dW8 = jnp.zeros((8, 6 * C, 4 * co), jnp.float32)
     for b in range(B):
-        g8 = tab[b][tables.nbr_idx[b][offs].reshape(-1)]
+        g8 = rowgather(tab[b], tables.nbr_idx[b][offs].reshape(-1))
         win = _extract_subm_window(
             g8, tables.nbr_case[b][offs].reshape(-1), C
         ).reshape(8, S, 6 * C)
@@ -592,7 +612,7 @@ def chunked_from_host(
     ).reshape(B * (V + 1), C)
     gi = (src0.reshape(B, -1)
           + (jnp.arange(B, dtype=jnp.int32) * (V + 1))[:, None])
-    feats = vf[gi.reshape(-1)].reshape(B, S, CHUNK * C)
+    feats = rowgather(vf, gi.reshape(-1)).reshape(B, S, CHUNK * C)
     valid = ck < hw
     occ_bits = jnp.where(valid, bits_of_occ(src0 < V), 0)
     return ChunkedSparseTensor(feats, occ_bits, ck, ch, valid)
@@ -750,8 +770,8 @@ def _down2_window_b(tab, sites, b, C, with_occ: bool):
     chunk 2s+1): case0: A[p]; case1: A[p+4] for p≤5, B[p−4] for p≥6;
     case2: A[p−4] for p≥4 (lower positions provably empty)."""
     S2 = sites.colkey.shape[1]
-    A = tab[sites.nbr_a[b].reshape(-1)]   # [9·S2, 10C(+10)]
-    Br = tab[sites.nbr_b[b].reshape(-1)]
+    A = rowgather(tab, sites.nbr_a[b].reshape(-1))  # [9·S2, 10C(+10)]
+    Br = rowgather(tab, sites.nbr_b[b].reshape(-1))
     ca = sites.case_a[b].reshape(-1)[:, None]
 
     def assemble(off, width_unit):
@@ -890,7 +910,7 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
             bo = (jnp.arange(B, dtype=jnp.int32) * (H2 * W2 + 1))[:, None]
             pack = out_tables.colmap[(q + bo).reshape(-1)].reshape(B, S)
             row, case = _resolve(pack, t, nch_out, S2)
-        gr = gtabf[(row + boff2).reshape(-1)]  # [B·S, 10·co]
+        gr = rowgather(gtabf, (row + boff2).reshape(-1))  # [B·S, 10·co]
         # window base: q0(u) = u + 1 (s even) | u + 3 (s odd), then
         # case1: +4, case2: −4; out-of-range / missed rows read zero
         dq = jnp.where(case == 0, 0, jnp.where(case == 1, 4, -4))

@@ -63,7 +63,8 @@ def _batch_spec(
 
                 dummy = np.full((V, 3), -1, np.int32)
                 topo = plan_frame_topology(
-                    dummy, cfg.grid_size, cfg.lidar_encoder.stage_voxel_caps
+                    dummy, cfg.grid_size, cfg.lidar_encoder.stage_voxel_caps,
+                    s0_cap=cfg.lidar_encoder.s0_slot_cap,
                 )
                 for k, v in topo.items():
                     spec[f"topo_{k}"] = jax.ShapeDtypeStruct(
