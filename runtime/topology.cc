@@ -107,6 +107,74 @@ struct Stage {
   int H = 0, W = 0, D = 0;
 };
 
+// Dense per-column z-occupancy bitmasks (uint64; D <= 63 after the +1
+// window shift), epoch-stamped like ColMap.
+struct ZMask {
+  std::vector<uint64_t> m;
+  std::vector<int32_t> stamp;
+  int32_t epoch = 0;
+  int64_t hw = 0;
+  void reset(int64_t new_hw) {
+    if ((int64_t)stamp.size() < new_hw) {
+      m.resize(new_hw);
+      stamp.assign(new_hw, 0);
+      epoch = 0;
+    }
+    hw = new_hw;
+    ++epoch;
+  }
+  inline void add(int64_t key, uint64_t bit) {
+    if (stamp[key] != epoch) {
+      m[key] = 0;
+      stamp[key] = epoch;
+    }
+    m[key] |= bit;
+  }
+  inline uint64_t get(int64_t key) const {
+    if (key < 0 || key >= hw || stamp[key] != epoch) return 0;
+    return m[key];
+  }
+};
+
+// Exact out-site occupancy of the k3/s2/p1 down conv ([S_out] int32 4-bit
+// z bitmaps): out z active iff >=1 input z in [2z-1, 2z+1] within the 3x3
+// strided footprint (spconv site rule; numpy spec _down_occ_bits).
+void down_occ(const ZMask& zin, const Stage& out_st, int H_in, int W_in,
+              int32_t S_out, int32_t* occ /* [S_out] */) {
+  std::fill(occ, occ + S_out, 0);
+  for (int32_t i = 0; i < out_st.n_valid; ++i) {
+    int64_t yo = out_st.colkey[i] / out_st.W;
+    int64_t xo = out_st.colkey[i] % out_st.W;
+    uint64_t acc = 0;
+    for (int ky = 0; ky < 3; ++ky) {
+      for (int kx = 0; kx < 3; ++kx) {
+        int64_t yi = 2 * yo - 1 + ky, xi = 2 * xo - 1 + kx;
+        if (yi < 0 || yi >= H_in || xi < 0 || xi >= W_in) continue;
+        acc |= zin.get(yi * W_in + xi);
+      }
+    }
+    acc <<= 1;  // bit z+1: window [2z-1, 2z+1] = bits [2z, 2z+2]
+    int32_t bitsv = 0;
+    for (int zi = 0; zi < CHUNK; ++zi) {
+      int zo = CHUNK * out_st.chunk[i] + zi;
+      if (zo >= out_st.D) continue;
+      if ((acc >> (2 * zo)) & 7ULL) bitsv |= 1 << zi;
+    }
+    occ[i] = bitsv;
+  }
+}
+
+// Stage column z-masks from slot occupancy bitmaps.
+void stage_zmask(const Stage& st, const int32_t* occ, ZMask* zm) {
+  zm->reset((int64_t)st.H * st.W);
+  for (int32_t i = 0; i < st.n_valid; ++i) {
+    uint64_t m = 0;
+    for (int zi = 0; zi < CHUNK; ++zi)
+      if ((occ[i] >> zi) & 1) m |= 1ULL << (CHUNK * st.chunk[i] + zi);
+    if (m) zm->add(st.colkey[i], m);
+  }
+}
+
 // Build the dense column map of a stage's sorted slot skeleton.
 void build_colmap(const Stage& st, ColMap* cm) {
   cm->reset((int64_t)st.H * st.W);
@@ -241,6 +309,7 @@ void rev_tables(const ColMap& cm_out, const Stage& in, int D2, int H2, int W2,
 }
 
 thread_local ColMap g_cm0, g_cm2, g_cm3;
+thread_local ZMask g_zm0, g_zm2;
 
 }  // namespace
 
@@ -262,7 +331,8 @@ int32_t plan_frame_topology_native_v2(
     int32_t* ck2, int32_t* ch2, int32_t* a2, int32_t* b2, int32_t* nbr2,
     int32_t* rev2 /* [9*S0] */,
     int32_t* ck3, int32_t* ch3, int32_t* a3, int32_t* b3, int32_t* nbr3,
-    int32_t* rev3 /* [9*S2] */) {
+    int32_t* rev3 /* [9*S2] */,
+    int32_t* occ2 /* [S2] */, int32_t* occ3 /* [S3] */) {
   // stage shapes, mirroring VoxelResBackBone8x.__call__
   Stage s0, s2, s3;
   s0.D = nz + 1; s0.H = ny; s0.W = nx;
@@ -282,6 +352,7 @@ int32_t plan_frame_topology_native_v2(
   bool cur_kept = false;
   int64_t prev_ck = -1;
   int32_t prev_ch = -1;
+  g_zm0.reset(hw0);
   for (int64_t v = 0; v < V; ++v) {
     int32_t z = coords[v * 3], y = coords[v * 3 + 1], x = coords[v * 3 + 2];
     if (z < 0) continue;
@@ -300,7 +371,10 @@ int32_t plan_frame_topology_native_v2(
       prev_ck = ck;
       prev_ch = ch;
     }
-    if (cur_kept) src0[(int64_t)(s0.n_valid - 1) * CHUNK + zp] = (int32_t)v;
+    if (cur_kept) {
+      src0[(int64_t)(s0.n_valid - 1) * CHUNK + zp] = (int32_t)v;
+      g_zm0.add(ck, 1ULL << z);
+    }
   }
 
   build_colmap(s0, &g_cm0);
@@ -318,6 +392,10 @@ int32_t plan_frame_topology_native_v2(
   subm_tables(g_cm3, s3.colkey.data(), s3.chunk.data(), s3.n_valid, S3, s3.D,
               s3.H, s3.W, nbr3);
   rev_tables(g_cm3, s2, s3.D, s3.H, s3.W, S2, S3, rev3);
+
+  down_occ(g_zm0, s2, s0.H, s0.W, S2, occ2);
+  stage_zmask(s2, occ2, &g_zm2);
+  down_occ(g_zm2, s3, s2.H, s2.W, S3, occ3);
 
   std::memcpy(ck0, s0.colkey.data(), (size_t)S0 * 4);
   std::memcpy(ch0, s0.chunk.data(), (size_t)S0 * 4);
@@ -337,9 +415,11 @@ int32_t plan_frame_topology_native(
     int32_t* rev2,
     int32_t* ck3, int32_t* ch3, int32_t* a3, int32_t* b3, int32_t* nbr3,
     int32_t* rev3) {
+  std::vector<int32_t> occ2(S2), occ3(S3);
   int32_t rc = plan_frame_topology_native_v2(
       coords, V, (int32_t)V, nx, ny, nz, S2, S3, ck0, ch0, src0, nbr0, ck2,
-      ch2, a2, b2, nbr2, rev2, ck3, ch3, a3, b3, nbr3, rev3);
+      ch2, a2, b2, nbr2, rev2, ck3, ch3, a3, b3, nbr3, rev3, occ2.data(),
+      occ3.data());
   return rc < 0 ? 1 : 0;
 }
 

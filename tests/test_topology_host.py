@@ -218,3 +218,74 @@ def test_s0_slot_cap_matches_device_truncation():
         )
         assert int(topo["s0_dropped"]) == max(0, n_slots_uncapped - CAP), name
         assert int(topo["s0_dropped"]) > 0, name  # the cap must bind here
+
+
+def test_down_v2_matches_v1_and_planner_occ():
+    """down2_conv_v2 (13-z A-only windows + planner occupancy) must equal
+    down2_conv_chunked (A/B windows + in-conv occupancy) in values, out
+    occupancy, and gradients; and the planner's occ2 must equal the
+    occupancy the v1 conv derives on-device."""
+    import jax
+    import jax.numpy as jnp
+
+    from unidistill_tpu.ops.sparse_conv_chunked import (
+        down2_conv_chunked,
+        down2_conv_v2,
+        sites_from_host,
+    )
+
+    grid = (16, 12, 11)
+    s0, s2, s3 = _stage_shapes(grid)
+    rng = np.random.RandomState(5)
+    C, co = 8, 8
+    feats, coords = _random_voxels(rng, s0, 50, C, 64, B=2)
+    S2, S3 = 48, 24
+
+    st = chunked_from_voxels(feats, coords, s0)
+    tb0 = build_chunked_tables(st.colkey, st.chunk, st.valid, s0)
+    sites2 = down2_sites(st.colkey, st.chunk, st.valid, tb0, s0, s2, S2)
+    tb2 = build_chunked_tables(sites2.colkey, sites2.chunk, sites2.valid, s2)
+
+    topos = [
+        plan_frame_topology(np.asarray(coords[b]), grid, (S2, S3))
+        for b in range(2)
+    ]
+    occ2_host = jnp.asarray(np.stack([t["occ2"] for t in topos]))
+    sites_h = sites_from_host(
+        jnp.asarray(np.stack([t["ck2"] for t in topos])),
+        jnp.asarray(np.stack([t["ch2"] for t in topos])),
+        jnp.asarray(np.stack([t["a2"] for t in topos])),
+        jnp.asarray(np.stack([t["b2"] for t in topos])),
+        jnp.asarray(np.stack([t["rev2"] for t in topos])),
+        s2[1] * s2[2],
+    )
+
+    w = jnp.asarray(rng.randn(27, C, co).astype(np.float32) * 0.1)
+
+    def v1(x, wt):
+        return down2_conv_chunked(
+            x, st.occ_bits, st.colkey, st.chunk, st.valid, wt, None,
+            sites2, tb2, s0, s2, "float32")
+
+    def v2(x, wt):
+        return down2_conv_v2(
+            x, st.occ_bits, st.colkey, st.chunk, st.valid, wt, None,
+            sites_h, occ2_host, s0, s2, "float32")
+
+    out1, occ1 = jax.jit(v1)(st.feats, w)
+    out2 = jax.jit(v2)(st.feats, w)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2_host))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
+
+    def l1(x, wt):
+        return jnp.sum(jnp.square(v1(x, wt)[0]))
+
+    def l2(x, wt):
+        return jnp.sum(jnp.square(v2(x, wt)))
+
+    g1 = jax.jit(jax.grad(l1, argnums=(0, 1)))(st.feats, w)
+    g2 = jax.jit(jax.grad(l2, argnums=(0, 1)))(st.feats, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -91,7 +91,7 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.plan_frame_topology_native_v2.restype = ctypes.c_int32
         lib.plan_frame_topology_native_v2.argtypes = (
-            [i32p, ctypes.c_int64] + [ctypes.c_int32] * 6 + [i32p] * 16
+            [i32p, ctypes.c_int64] + [ctypes.c_int32] * 6 + [i32p] * 18
         )
     if hasattr(lib, "voxelize_mean_sorted_native"):
         fp = ctypes.POINTER(ctypes.c_float)
@@ -289,6 +289,7 @@ def plan_frame_topology_native(coords: np.ndarray, grid_size, stage_caps,
         "ck3": np.empty(S3, np.int32), "ch3": np.empty(S3, np.int32),
         "a3": np.empty((9, S3), np.int32), "b3": np.empty((9, S3), np.int32),
         "nbr3": np.empty((9, S3), np.int32), "rev3": np.empty((9, S2), np.int32),
+        "occ2": np.empty(S2, np.int32), "occ3": np.empty(S3, np.int32),
     }
 
     def p(a):
@@ -300,7 +301,7 @@ def plan_frame_topology_native(coords: np.ndarray, grid_size, stage_caps,
         p(out["ck2"]), p(out["ch2"]), p(out["a2"]), p(out["b2"]),
         p(out["nbr2"]), p(out["rev2"]),
         p(out["ck3"]), p(out["ch3"]), p(out["a3"]), p(out["b3"]),
-        p(out["nbr3"]), p(out["rev3"]),
+        p(out["nbr3"]), p(out["rev3"]), p(out["occ2"]), p(out["occ3"]),
     )
     if rc < 0:
         return None

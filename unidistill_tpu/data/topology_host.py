@@ -221,6 +221,60 @@ def _down_sites(cm_in: _ColMap, shape_in, shape_out, S_in: int, S_out: int):
     return colkey, chunk, valid, a_pack, b_idx
 
 
+def _col_zmask_lookup(keys: np.ndarray, zmask: np.ndarray, q: np.ndarray,
+                      ok: np.ndarray) -> np.ndarray:
+    """Sorted unique column keys + per-column z-bitmasks → masks at q."""
+    if len(keys) == 0:
+        return np.zeros(q.shape, np.uint64)
+    pos = np.searchsorted(keys, q)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    has = ok & (pos < len(keys)) & (keys[pos_c] == q)
+    return np.where(has, zmask[pos_c], np.uint64(0))
+
+
+def _down_occ_bits(keys_in, zmask_in, colkey_out, chunk_out, valid_out,
+                   shape_in, shape_out) -> np.ndarray:
+    """Exact out-site occupancy of the k3/s2/p1 down conv ([S_out] int32
+    4-bit z bitmaps): out z active iff ≥1 input z ∈ [2z−1, 2z+1] exists in
+    the 3×3 strided xy footprint — the spconv site rule, byte-identical to
+    what `_down2_impl` derives from occupancy window lanes (tested)."""
+    D2, H2, W2 = shape_out
+    _, H, W = shape_in
+    msh = zmask_in << np.uint64(1)  # bit z+1 ⇒ window [2z−1, 2z+1] = bits [2z, 2z+2]
+    yo, xo = colkey_out // W2, colkey_out % W2
+    acc = np.zeros(len(colkey_out), np.uint64)
+    for ky in range(3):
+        for kx in range(3):
+            yi = 2 * yo - 1 + ky
+            xi = 2 * xo - 1 + kx
+            inb = valid_out & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            q = np.where(inb, yi.astype(np.int64) * W + xi, -1)
+            acc |= _col_zmask_lookup(keys_in, msh, q, inb)
+    occ = np.zeros(len(colkey_out), np.int32)
+    for zi in range(CHUNK):
+        zo = CHUNK * chunk_out + zi
+        sh = np.minimum(2 * zo, 62).astype(np.uint64)  # shift-UB guard
+        hit = ((acc >> sh) & np.uint64(7)) != 0
+        hit &= (zo < D2) & valid_out
+        occ |= np.where(hit, np.int32(1 << zi), 0)
+    return occ
+
+
+def _zmask_of_occ(keys: np.ndarray, colkey, chunk, occ_bits,
+                  valid) -> np.ndarray:
+    """Per-unique-column z-bitmask from slot occupancy bitmaps."""
+    zm = np.zeros(len(keys), np.uint64)
+    vi = np.nonzero(valid)[0]
+    col_idx = np.searchsorted(keys, colkey[vi])
+    for zi in range(CHUNK):
+        has = ((occ_bits[vi] >> zi) & 1) == 1
+        np.bitwise_or.at(
+            zm, col_idx[has],
+            np.uint64(1) << (CHUNK * chunk[vi][has] + zi).astype(np.uint64),
+        )
+    return zm
+
+
 def _rev_tables(cm_out: _ColMap, colkey_in, chunk_in, valid_in, shape_out,
                 S_in: int, S_out: int, W_in: int):
     """[9, S_in] packed out-row·4+case for the down-conv BACKWARD gather
@@ -329,11 +383,24 @@ def plan_frame_topology_numpy(
     nbr3 = _subm_tables(cm3, colkey3, chunk3, valid3, s3, S3)
     rev3 = _rev_tables(cm3, colkey2, chunk2, valid2, s3, S2, S3, s2[2])
 
+    # exact down-conv out occupancy (consumed by ops down2_conv_v2 instead
+    # of in-conv occupancy-window assembly)
+    zmask0 = np.zeros(len(cm0.keys), np.uint64)
+    if len(cm0.keys):
+        ci = np.searchsorted(cm0.keys, ck[vi])
+        np.bitwise_or.at(
+            zmask0, ci, np.uint64(1) << z[vi].astype(np.uint64)
+        )
+    occ2 = _down_occ_bits(cm0.keys, zmask0, colkey2, chunk2, valid2, s0, s2)
+    zmask2 = _zmask_of_occ(cm2.keys, colkey2, chunk2, occ2, valid2)
+    occ3 = _down_occ_bits(cm2.keys, zmask2, colkey3, chunk3, valid3, s2, s3)
+
     return {
         "ck0": colkey0, "ch0": chunk0, "src0": src0, "nbr0": nbr0,
         "ck2": colkey2.astype(np.int32), "ch2": chunk2, "a2": a2, "b2": b2,
         "nbr2": nbr2, "rev2": rev2,
         "ck3": colkey3.astype(np.int32), "ch3": chunk3, "a3": a3, "b3": b3,
         "nbr3": nbr3, "rev3": rev3,
+        "occ2": occ2, "occ3": occ3,
         "s0_dropped": np.int32(max(0, n_start - S0)),
     }

@@ -46,6 +46,7 @@ from unidistill_tpu.ops.sparse_conv_chunked import (
     chunked_from_voxels,
     chunked_to_dense,
     down2_conv_chunked,
+    down2_conv_v2,
     down2_sites,
     subm_conv_chunked,
     zmask,
@@ -467,6 +468,28 @@ class _Down2Chunked(nn.Module):
         )
 
 
+class _Down2ChunkedV2(nn.Module):
+    """Host-topology down conv (ops.down2_conv_v2): 13-z rows kill the B
+    gather, out occupancy comes from the planner. Param tree identical to
+    `_Down2Chunked` (checkpoint-compatible)."""
+
+    cin: int
+    cout: int
+    spatial_shape: Tuple[int, int, int]
+    out_spatial_shape: Tuple[int, int, int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, occ_bits, colkey, chunk, valid, sites,
+                 occ_bits_out):
+        w = self.param("kernel", _kaiming, (27, self.cin, self.cout))
+        return down2_conv_v2(
+            feats, occ_bits, colkey, chunk, valid, w, None, sites,
+            occ_bits_out, self.spatial_shape, self.out_spatial_shape,
+            jnp.dtype(self.dtype).name,
+        )
+
+
 class VoxelResBackBone8x(nn.Module):
     """Sparse middle encoder; input [B, V, 5] voxel mean features + coords."""
 
@@ -537,10 +560,16 @@ class VoxelResBackBone8x(nn.Module):
                                  caps[0])
             tb2 = build_chunked_tables(sites2.colkey, sites2.chunk,
                                        sites2.valid, s2)
-        f2, occ2 = _Down2Chunked(16, 32, s0, s2, dt, name="down2")(
-            f, st.occ_bits, st.colkey, st.chunk, st.valid, sites2, tb2
-        )
-        occ2 = jax.lax.stop_gradient(occ2)  # integer topology (no JVP rules)
+        if topo is not None and "occ2" in topo:
+            occ2 = topo["occ2"]
+            f2 = _Down2ChunkedV2(16, 32, s0, s2, dt, name="down2")(
+                f, st.occ_bits, st.colkey, st.chunk, st.valid, sites2, occ2
+            )
+        else:
+            f2, occ2 = _Down2Chunked(16, 32, s0, s2, dt, name="down2")(
+                f, st.occ_bits, st.colkey, st.chunk, st.valid, sites2, tb2
+            )
+            occ2 = jax.lax.stop_gradient(occ2)  # integer topology (no JVP)
         f2 = bn_relu_ch(f2, occ2, "bn2")
         f2 = _RematBlockC(32, dt, name="res2a")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, tb2, train)
@@ -558,10 +587,18 @@ class VoxelResBackBone8x(nn.Module):
                                  tb2, s2, s3, caps[1])
             tb3 = build_chunked_tables(sites3.colkey, sites3.chunk,
                                        sites3.valid, s3)
-        f3, occ3 = _Down2Chunked(32, 64, s2, s3, dt, name="down3")(
-            f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, sites3, tb3
-        )
-        occ3 = jax.lax.stop_gradient(occ3)  # integer topology (no JVP rules)
+        if topo is not None and "occ3" in topo:
+            occ3 = topo["occ3"]
+            f3 = _Down2ChunkedV2(32, 64, s2, s3, dt, name="down3")(
+                f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, sites3,
+                occ3
+            )
+        else:
+            f3, occ3 = _Down2Chunked(32, 64, s2, s3, dt, name="down3")(
+                f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, sites3,
+                tb3
+            )
+            occ3 = jax.lax.stop_gradient(occ3)  # integer topology (no JVP)
         f3 = bn_relu_ch(f3, occ3, "bn3")
         f3 = _RematBlockC(64, dt, name="res3a")(
             f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)

@@ -287,14 +287,20 @@ def build_chunked_tables(
     )
 
 
-def _window_table(feats, occ_bits, colkey, chunk, valid, with_occ: bool, dt):
+def _window_table(feats, occ_bits, colkey, chunk, valid, with_occ: bool, dt,
+                  rowz: int = ROWZ):
     """→ [B, S+1, 10·C (+10)] double-height halo rows, built by pure shifts
     and lane slices (everything stays in the flat ≥64-lane minor layout).
 
     Lane block layout: [z3 of (c,s−1) : C | own 4C | 4C of (c,s+1) |
     z0 of (c,s+2) : C]; covering z = 4s−1+q, q ∈ 0..9 at lanes q·C..q·C+C.
     with_occ appends 10 occupancy lanes (values 0/1 in dt) at the tail —
-    window position p's occupancy at lane 10·C+p. Row S is zero."""
+    window position p's occupancy at lane 10·C+p. Row S is zero.
+
+    rowz=13 emits triple-height rows [4s−1 .. 4s+11] (full 4C block of
+    chunk s+2 instead of just its z0): the strided down conv can then
+    assemble every case's 9-z window from ONE gathered row — no second
+    (chunk 2t+1) gather (down-conv v2)."""
     B, S, FC = feats.shape
     C = FC // CHUNK
     src = zmask(occ_bits, C, feats.astype(dt))  # padding/absent z are zero
@@ -329,10 +335,14 @@ def _window_table(feats, occ_bits, colkey, chunk, valid, with_occ: bool, dt):
     n2 = shift(src, 2)
     halo_lo = jnp.where(m_prev, shift(src, -1)[:, :, 3 * C:4 * C], 0.0)
     blk_next = jnp.where(m_next1, n1, 0.0)
-    z_s2 = jnp.where(
-        m1_is_s2, n1[:, :, 0:C], jnp.where(m_next2, n2[:, :, 0:C], 0.0)
-    )
-    pieces = [halo_lo, src, blk_next, z_s2]
+    if rowz == 13:
+        blk_s2 = jnp.where(m1_is_s2, n1, jnp.where(m_next2, n2, 0.0))
+        pieces = [halo_lo, src, blk_next, blk_s2]
+    else:
+        z_s2 = jnp.where(
+            m1_is_s2, n1[:, :, 0:C], jnp.where(m_next2, n2[:, :, 0:C], 0.0)
+        )
+        pieces = [halo_lo, src, blk_next, z_s2]
     if with_occ:
         o4 = occ_of_bits(occ_bits, dt)  # [B, S, 4]
         o1 = shift(o4, 1)
@@ -959,6 +969,156 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
 
 
 down2_conv_chunked.defvjp(_down2_fwd, _down2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Down conv v2 — host-topology path: 13-z rows, A-only gather, planner occ
+# ---------------------------------------------------------------------------
+
+
+def _extract_down_window(g, case, C):
+    """Gathered 13-z rows [N, 13·C] + per-row case → 9-z down windows
+    [N, 9·C] (window position p reads input z = 8t−1+p for out chunk t).
+
+    case0 (row = chunk 2t): lanes 0:9C; case1 (row 2t−1): lanes 4C:13C;
+    case2 (row 2t+1): [zeros 4C | lanes 0:5C] (positions 0..3 cover chunks
+    2t−1/2t which are absent under case2 — provably zero)."""
+    w0 = g[:, 0:9 * C]
+    w1 = g[:, 4 * C:13 * C]
+    w2 = jnp.concatenate(
+        [jnp.zeros_like(g[:, 0:4 * C]), g[:, 0:5 * C]], axis=1
+    )
+    c = case[:, None]
+    return jnp.where(c == 0, w0, jnp.where(c == 1, w1, w2))
+
+
+def _down2_v2_windows(tab13_b, sites, b, C):
+    S2 = sites.colkey.shape[1]
+    g = rowgather(tab13_b, sites.nbr_a[b].reshape(-1))
+    return _extract_down_window(
+        g, sites.case_a[b].reshape(-1), C
+    ).reshape(9, S2, 9 * C)
+
+
+def _down2_v2_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
+                   sites, occ_bits_out, dtype_str):
+    B, S, FC = feats.shape
+    C = FC // CHUNK
+    co = weight.shape[-1]
+    dt = jnp.dtype(dtype_str)
+    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt,
+                        rowz=13)
+    W9 = _band_weight(_w_zyx(weight).astype(dt), C, co, 9, 2, dt)
+    accs = [
+        jnp.einsum("osw,owk->osk", _down2_v2_windows(tab[b], sites, b, C),
+                   W9, preferred_element_type=dt).sum(0)
+        for b in range(B)
+    ]
+    acc = jnp.stack(accs)
+    if bias is not None:
+        acc = acc + jnp.tile(bias.astype(dt), CHUNK)
+    return zmask(occ_bits_out, co, acc)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def down2_conv_v2(
+    feats, occ_bits, colkey, chunk, valid, weight, bias, sites,
+    occ_bits_out, spatial_shape, out_spatial_shape, dtype_str: str,
+):
+    """Strided k3/s2/p1 sparse conv, host-topology fast path.
+
+    Differences vs `down2_conv_chunked`: (1) the window table holds 13-z
+    rows so every case's 9-z window is assembled from the single 3-way-
+    resolved A row — the chunk-2t+1 B gather (half the down conv's gather
+    rows) disappears; (2) out-site occupancy comes precomputed from the
+    host planner (`topo['occ2'/'occ3']`, data/topology_host.py) instead of
+    the in-conv occupancy-lane assembly whose [9·S2, 9] intermediates were
+    lane-padded 14× (r3 trace). Requires `sites.rev` (host planner);
+    math-equivalence vs `down2_conv_chunked` is oracle-tested."""
+    assert sites.rev is not None, "down2_conv_v2 needs host-planned topology"
+    return _down2_v2_impl(feats, occ_bits, colkey, chunk, valid, weight,
+                          bias, sites, occ_bits_out, dtype_str)
+
+
+def _down2_v2_fwd(feats, occ_bits, colkey, chunk, valid, weight, bias, sites,
+                  occ_bits_out, spatial_shape, out_spatial_shape, dtype_str):
+    out = _down2_v2_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
+                         sites, occ_bits_out, dtype_str)
+    return out, (feats, occ_bits, colkey, chunk, valid, weight,
+                 bias is not None, sites, occ_bits_out)
+
+
+def _down2_v2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, g):
+    """Identical transpose to `_down2_bwd` (reverse parity-masked gather via
+    the host `sites.rev` resolve), with dW regathered from 13-z windows."""
+    (feats, occ_bits, colkey, chunk, valid, weight, has_bias, sites,
+     occ_bits_out) = res
+    D2, H2, W2 = out_spatial_shape
+    B, S, FC = feats.shape
+    C = FC // CHUNK
+    S2 = sites.colkey.shape[1]
+    co = weight.shape[-1]
+    dt = jnp.dtype(dtype_str)
+    g = zmask(occ_bits_out, co, g).astype(dt)
+    w = _w_zyx(weight).astype(dt)
+
+    gtab = _window_table(g, occ_bits_out, sites.colkey, sites.chunk,
+                         sites.valid, False, dt)
+    spar = chunk % 2
+    zk = [(zi, kz) for zi in range(4) for kz in range(3)
+          if (zi + 1 - kz) % 2 == 0]
+    gtabf = gtab.reshape(B * (S2 + 1), ROWZ * co)
+    boff2 = (jnp.arange(B, dtype=jnp.int32) * (S2 + 1))[:, None]
+    dcols = [jnp.zeros((B * S, C), jnp.float32) for _ in range(CHUNK)]
+    wT = jnp.swapaxes(w, 3, 4)  # [kz, ky, kx, co, C]
+    for o in range(9):
+        ky, kx = o // 3, o % 3
+        rv = sites.rev[:, o]
+        row, case = rv >> 2, rv & 3
+        gr = rowgather(gtabf, (row + boff2).reshape(-1))  # [B·S, 10·co]
+        dq = jnp.where(case == 0, 0, jnp.where(case == 1, 4, -4))
+        base_q = (1 + 2 * spar + dq).reshape(-1)
+        row_ok = (row < S2).reshape(-1)
+        vals = {}
+        for u in sorted({(zi + 1 - kz) // 2 for zi, kz in zk}):
+            qq = base_q + u
+            acc_u = jnp.zeros((B * S, co), dt)
+            for q_ in range(ROWZ):
+                m = ((qq == q_) & row_ok)[:, None]
+                acc_u = acc_u + jnp.where(
+                    m, gr[:, q_ * co:(q_ + 1) * co], 0.0
+                )
+            vals[u] = acc_u
+        for zi, kz in zk:
+            u = (zi + 1 - kz) // 2
+            dcols[zi] = dcols[zi] + jnp.einsum(
+                "bo,oc->bc", vals[u], wT[kz, ky, kx],
+                preferred_element_type=jnp.float32,
+            )
+    df = jnp.concatenate(dcols, axis=1).reshape(B, S, CHUNK * C)
+    dfeats = zmask(occ_bits, C, df).astype(feats.dtype)
+
+    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt,
+                        rowz=13)
+    dW9 = jnp.zeros((9, 9 * C, 4 * co), jnp.float32)
+    for b in range(B):
+        w9f = _down2_v2_windows(tab[b], sites, b, C)
+        dW9 = dW9 + jnp.einsum("osw,sk->owk", w9f, g[b],
+                               preferred_element_type=jnp.float32)
+    dW9 = dW9.reshape(9, 9, C, 4, co)
+    dw = jnp.stack([
+        sum(dW9[:, 2 * zi + kz, :, zi, :] for zi in range(4))
+        for kz in range(3)
+    ])  # [3, 9, C, co] z-major
+    dweight = dw.reshape(27, C, co).astype(weight.dtype)
+    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+             .reshape(CHUNK, co).sum(0).astype(weight.dtype)
+             if has_bias else None)
+    return (dfeats, _f0(occ_bits), _f0(colkey), _f0(chunk), _f0(valid),
+            dweight, dbias, jax.tree.map(_f0, sites), _f0(occ_bits_out))
+
+
+down2_conv_v2.defvjp(_down2_v2_fwd, _down2_v2_bwd)
 
 
 def chunked_to_dense(st: ChunkedSparseTensor, spatial_shape):
