@@ -104,6 +104,43 @@ def zp14_3row(feats, occ_bits, ck, ch, vd, w, tables, C, co, dt):
     return zmask(occ_bits, co, acc)
 
 
+def view2(feats, occ_bits, ck, ch, vd, w, tables, C, co, dt):
+    """2-view table [S+1, 2, 6C] (v0 = lanes 0:6C, v1 = 4C:10C) + stacked
+    weight [W6 | W2']: case0/2 gather v0, case1 gathers v1; case2's window
+    ([zeros 4C | row 0:2C]) is W2' = W6 shifted 4C applied to v0. Select
+    happens on the 8·co OUTPUT lanes instead of the 6C window."""
+    from unidistill_tpu.ops.sparse_conv_chunked import rowgather
+
+    B, S, FC = feats.shape
+    tab = _window_table(feats, occ_bits, ck, ch, vd, False, dt)
+    Sp1 = tab.shape[1]
+    v0 = tab[:, :, 0:6 * C]
+    v1 = tab[:, :, 4 * C:10 * C]
+    tab2 = jnp.stack([v0, v1], axis=2).reshape(B, Sp1 * 2, 6 * C)
+    W6 = _band_weight(_w_zyx(w), C, co, 6, 1, dt)       # [9, 6C, 4co]
+    # W2'[o, l, :] = W6[o, l+4C, :] for l < 2C else 0
+    W2p = jnp.concatenate(
+        [W6[:, 4 * C:6 * C], jnp.zeros((9, 4 * C, 4 * co), dt)], axis=1
+    )
+    Wst = jnp.concatenate([W6, W2p], axis=2)            # [9, 6C, 8co]
+    offs = np.asarray(_OFFS8)
+    accs = []
+    for b in range(B):
+        case = tables.nbr_case[b][offs]
+        i2 = (tables.nbr_idx[b][offs] * 2 + (case == 1)).reshape(-1)
+        win = rowgather(tab2[b], i2).reshape(8, S, 6 * C)
+        y = jnp.einsum("osw,owk->osk", win, Wst[offs],
+                       preferred_element_type=dt)       # [8, S, 8co]
+        y = jnp.where((case == 2)[..., None], y[..., 4 * co:],
+                      y[..., :4 * co])
+        accs.append(y.sum(0))
+    acc = jnp.stack(accs)
+    gc = tab[:, :S, 0:6 * C].reshape(B * S, 6 * C)
+    acc = acc + jnp.einsum("bw,wk->bk", gc, W6[4],
+                           preferred_element_type=dt).reshape(B, S, 4 * co)
+    return zmask(occ_bits, co, acc)
+
+
 SHAPES = {
     "s0": (4, 131072, 16, 16),
     "s2": (4, 98304, 32, 32),
@@ -138,6 +175,9 @@ def main():
             a[0] + c.astype(dt) * 0, a[1], a[2], a[3], a[4], a[5], a[6],
             C, co, dt)
         variants["zp14_3row"] = lambda a, c: zp14_3row(
+            a[0] + c.astype(dt) * 0, a[1], a[2], a[3], a[4], a[5], a[6],
+            C, co, dt)
+        variants["view2"] = lambda a, c: view2(
             a[0] + c.astype(dt) * 0, a[1], a[2], a[3], a[4], a[5], a[6],
             C, co, dt)
 

@@ -432,8 +432,9 @@ def _use_case_view(S: int, C: int) -> bool:
     (`_case_view`, idx = 3·row + case) instead of post-gather selects.
     Trades a 1.8× bigger table build for no post-gather select pass. Only
     pays when the per-sample 3-view table stays well under the measured
-    ~75 MB gather-rate cliff ((S+1)·18·C·2 bytes). The auto threshold is
-    conservative (48 MB); the A/B is experiments/mb_subm_ab.py.
+    ~80 MB gather-rate cliff ((S+1)·18·C·2 bytes). Threshold set from the
+    measured A/B (r3): wins 2× at 75.5 MB, loses 2× at 92 MB
+    (experiments/mb_subm_r3.py, mb_gather_flags.py).
     UNIDISTILL_SUBM_CASE_VIEW=0/1 overrides (perf experiments)."""
     import os
 
@@ -1069,33 +1070,38 @@ def _down2_v2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, g):
           if (zi + 1 - kz) % 2 == 0]
     gtabf = gtab.reshape(B * (S2 + 1), ROWZ * co)
     boff2 = (jnp.arange(B, dtype=jnp.int32) * (S2 + 1))[:, None]
-    dcols = [jnp.zeros((B * S, C), jnp.float32) for _ in range(CHUNK)]
+    N = B * S
     wT = jnp.swapaxes(w, 3, 4)  # [kz, ky, kx, co, C]
+    dall = jnp.zeros((N, CHUNK * C), jnp.float32)
     for o in range(9):
         ky, kx = o // 3, o % 3
         rv = sites.rev[:, o]
         row, case = rv >> 2, rv & 3
         gr = rowgather(gtabf, (row + boff2).reshape(-1))  # [B·S, 10·co]
         dq = jnp.where(case == 0, 0, jnp.where(case == 1, 4, -4))
+        # per-row window base q ∈ {−3,−1,1,3,5,7}: with a 3co zero prefix
+        # every (spar, case) 3-position window is one of SIX static 3co
+        # lane slices — a 6-way select replaces the former 10-position
+        # predicated accumulation (≤30 co-wide passes/offset → 6)
         base_q = (1 + 2 * spar + dq).reshape(-1)
         row_ok = (row < S2).reshape(-1)
-        vals = {}
-        for u in sorted({(zi + 1 - kz) // 2 for zi, kz in zk}):
-            qq = base_q + u
-            acc_u = jnp.zeros((B * S, co), dt)
-            for q_ in range(ROWZ):
-                m = ((qq == q_) & row_ok)[:, None]
-                acc_u = acc_u + jnp.where(
-                    m, gr[:, q_ * co:(q_ + 1) * co], 0.0
-                )
-            vals[u] = acc_u
+        grp = jnp.concatenate([jnp.zeros((N, 3 * co), dt), gr], axis=1)
+        sel = base_q + 3  # slice start /co ∈ {0, 2, 4, 6, 8, 10}
+        win3 = jnp.zeros((N, 3 * co), dt)
+        for j in (0, 2, 4, 6, 8, 10):
+            m = ((sel == j) & row_ok)[:, None]
+            win3 = jnp.where(m, grp[:, j * co:(j + 3) * co], win3)
+        # fold (u, zi, kz) into one [3co, 4C] weight: lane u·co+j maps to
+        # out lane zi·C+c via wT[kz(u,zi)] where kz = zi+1−2u
+        Wc = jnp.zeros((3, co, CHUNK, C), dt)
         for zi, kz in zk:
             u = (zi + 1 - kz) // 2
-            dcols[zi] = dcols[zi] + jnp.einsum(
-                "bo,oc->bc", vals[u], wT[kz, ky, kx],
-                preferred_element_type=jnp.float32,
-            )
-    df = jnp.concatenate(dcols, axis=1).reshape(B, S, CHUNK * C)
+            Wc = Wc.at[u, :, zi, :].set(wT[kz, ky, kx])
+        dall = dall + jnp.einsum(
+            "nw,wc->nc", win3, Wc.reshape(3 * co, CHUNK * C),
+            preferred_element_type=jnp.float32,
+        )
+    df = dall.reshape(B, S, CHUNK * C)
     dfeats = zmask(occ_bits, C, df).astype(feats.dtype)
 
     tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt,

@@ -77,9 +77,27 @@ def assign_targets(
         is_task = local.any(-1) & valid  # [B, G]
         local_cls = jnp.argmax(local, axis=-1).astype(jnp.int32)  # [B, G]
 
-        # top-9 nearest anchors per task GT → positive anchors
-        neg = jnp.where(is_task[..., None], d2, jnp.inf)  # [B, G, ANC]
-        _, topk_idx = jax.lax.top_k(-neg, cfg.topk)  # [B, G, topk]
+        # top-9 nearest anchors per task GT → positive anchors.
+        # EXACT window reduction: the 9 nearest stride-8 grid points to any
+        # center lie inside the 4×4 window bracketing it (9th-best distance
+        # ≤ √2.5 grid units < 2.0, the minimum to any point outside the
+        # bracketing window — strict, so no cross-boundary ties), and the
+        # stable sort over ascending anchor ids reproduces lax.top_k's
+        # lowest-index tie order. Replaces a top_k over [B, G, 32400]
+        # (~34 ms/step on v5e) with a sort over [B, G, 16].
+        osf = float(cfg.out_size_factor)
+        gx0 = jnp.clip(jnp.floor(cx / osf - 1.0).astype(jnp.int32), 0, W - 4)
+        gy0 = jnp.clip(jnp.floor(cy / osf - 1.0).astype(jnp.int32), 0, H - 4)
+        r4 = jnp.arange(4, dtype=jnp.int32)
+        wy = gy0[..., None, None] + r4[None, None, :, None]  # [B, G, 4, 1]
+        wx = gx0[..., None, None] + r4[None, None, None, :]  # [B, G, 1, 4]
+        aid = (wy * W + wx).reshape(B, G, 16)  # ascending anchor ids
+        d2w = (
+            (wx.astype(jnp.float32) * osf - cx[..., None, None]) ** 2
+            + (wy.astype(jnp.float32) * osf - cy[..., None, None]) ** 2
+        ).reshape(B, G, 16)
+        _, aid_sorted = jax.lax.sort((d2w, aid), dimension=2, num_keys=1)
+        topk_idx = aid_sorted[..., : cfg.topk]  # [B, G, topk]
         scat_ok = jnp.broadcast_to(is_task[..., None], topk_idx.shape)
         pos_mask = jnp.zeros((B, ANC), bool)
         pos_mask = pos_mask.at[

@@ -332,6 +332,12 @@ class Trainer:
                     t0 = time.time()
                     last_logged = step
                     m["sec_per_step"] = dt
+                    if "topo_s0_dropped" in batch:
+                        # slot-cap truncation audit (configs.s0_slot_cap):
+                        # nonzero means this batch lost s0 slots to the cap
+                        m["s0_slots_dropped"] = int(
+                            np.asarray(batch["topo_s0_dropped"]).sum()
+                        )
                     self.log_metrics(step, m)
                     print(
                         f"epoch {epoch} step {step} "
