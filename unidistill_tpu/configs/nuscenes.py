@@ -85,7 +85,10 @@ class LidarEncoderConfig:
     # Active-voxel caps for the gather-GEMM sparse encoder's four downsample
     # outputs (strides 2, 4, 8, and the final (2,1,1)-z fold). The stride-1
     # stage's cap is the voxelizer's max_voxels — no separate knob (TPU-only).
-    stage_voxel_caps: Tuple[int, ...] = (98304, 65536, 32768, 32768)
+    # s3 cap 57344 (r3, was 65536): realistic cap-saturated clouds occupy
+    # 50-53k s3 slots (experiments/occupancy_profile.py) — ~8% headroom kept;
+    # every s3 cost scales with the cap. s2 stays 98304 (measured AT cap).
+    stage_voxel_caps: Tuple[int, ...] = (98304, 57344, 32768, 32768)
     # Stride-1 stage (column, z-chunk) slot cap (TPU-only knob). Every s0
     # cost (window tables, 8-offset gathers, BN) scales with the slot count,
     # and the case-view subm path needs its 3-view table under the ~80 MB
