@@ -343,10 +343,14 @@ int32_t plan_frame_topology_native_v2(
   int32_t S0 = S0cap;
   int64_t hw0 = (int64_t)s0.H * s0.W;
 
-  // slot skeleton + voxel -> slot-z source map
+  // slot skeleton + voxel -> slot-z source map. The src0 miss sentinel is
+  // V (the appended zero row; consumers test occupancy with `src0 < V`,
+  // chunked_from_host) — NOT S0: when the slot cap binds (eval: V=160000 >
+  // s0_slot_cap=131072) an S0 fill would mark every empty z-site occupied
+  // and gather real voxel #S0's features.
   s0.colkey.assign(S0, (int32_t)hw0);
   s0.chunk.assign(S0, 0);
-  std::fill(src0, src0 + (int64_t)S0 * CHUNK, S0);
+  std::fill(src0, src0 + (int64_t)S0 * CHUNK, (int32_t)V);
   s0.n_valid = 0;
   int32_t n_dropped = 0;
   bool cur_kept = false;

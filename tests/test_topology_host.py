@@ -219,6 +219,19 @@ def test_s0_slot_cap_matches_device_truncation():
         assert int(topo["s0_dropped"]) == max(0, n_slots_uncapped - CAP), name
         assert int(topo["s0_dropped"]) > 0, name  # the cap must bind here
 
+    # Full-key native↔numpy equality UNDER a binding cap — in particular
+    # src0 (miss sentinel must be V even when S0cap < V; r3 ADVICE high),
+    # occ2 and occ3. The uncapped test can't see this: there S0==V makes
+    # both sentinels coincide.
+    if len(planners) == 2:
+        t_np = plan_frame_topology_numpy(
+            np.asarray(coords[0]), grid, (S2, S3), s0_cap=CAP)
+        t_nat = plan_frame_topology_native(
+            np.asarray(coords[0]), grid, (S2, S3), s0_cap=CAP)
+        assert set(t_nat) == set(t_np)
+        for k in t_np:
+            np.testing.assert_array_equal(t_nat[k], t_np[k], err_msg=k)
+
 
 def test_down_v2_matches_v1_and_planner_occ():
     """down2_conv_v2 (13-z A-only windows + planner occupancy) must equal

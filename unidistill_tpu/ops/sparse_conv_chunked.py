@@ -48,6 +48,7 @@ tests/test_lidar_encoder_impls.py.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -94,7 +95,22 @@ def rowgather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Every chunked-table index is in [0, R) by construction (miss = the
     all-zero row R−1); skipping the bounds clamp measured ~10% faster at
-    stage shapes (experiments/mb_gather_flags.py)."""
+    stage shapes (experiments/mb_gather_flags.py).
+
+    INVARIANT: host-planner topology (src0/nbr/a/b/rev tables) must be
+    built at the SAME V and stage caps the model was traced with — a stale
+    cached topo from different caps produces undefined reads here. Set
+    UNIDISTILL_CHECK_TOPO_BOUNDS=1 to insert a debug-mode bounds assert
+    (jax.debug.callback; works under jit, slow — debugging only)."""
+    if os.environ.get("UNIDISTILL_CHECK_TOPO_BOUNDS"):
+        def _chk(i, r=table.shape[0]):
+            mx, mn = int(i.max()), int(i.min())
+            assert 0 <= mn and mx < r, (
+                f"topology gather index out of bounds: [{mn}, {mx}] vs "
+                f"table rows {r} — stale/mismatched host topo (built at a "
+                f"different V or stage cap)?"
+            )
+        jax.debug.callback(_chk, idx)
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
     )
