@@ -1,10 +1,23 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — streams one JSON line per metric for the driver.
 
 Headline metric: camera BEV detector eval forward (ResNet-50 → LSS
 lift-splat → Pallas BEV pool → BEV backbone → fused CenterHead → decode +
 batched rotated NMS) at real nuScenes shapes on the attached TPU chip,
-frames/sec/chip at batch 4. Secondary metrics (in "extra"): LiDAR-only and
-fusion eval fps at real voxel caps, measured under the same protocol.
+frames/sec/chip at batch 4. Secondary metrics: LiDAR-only and fusion eval
+fps at real voxel caps, train/distill step times, measured under the same
+protocol.
+
+Output protocol (round 4 — BENCH_r03 was rc=124/parsed=null because the
+single JSON line only printed after ~7 cold compile+measure cycles):
+  * The HEADLINE camera-eval line prints FIRST, as soon as it is measured,
+    with the full schema — a mid-run kill now truncates the tail, not the
+    head.
+  * Each subsequent metric prints its own JSON line as it completes.
+  * A final cumulative line (same schema, all metrics in "extra") prints
+    last, so last-line parsers get the full record.
+  * The time budget comes from BENCH_TIME_BUDGET_S (default 1200 s —
+    conservative vs the driver's kill window); metrics that don't fit are
+    recorded as "skipped: time budget" in the cumulative line.
 
 Methodology: the axon relay adds ~30 ms host↔device round-trip per dispatch
 and pipelines independent dispatches, so naive wall-clock loops are wrong in
@@ -13,13 +26,17 @@ forces completion), subtract the relay overhead measured with a trivial
 jitted no-op, and report the median of several reps. Both raw and
 overhead-subtracted timings are reported.
 
+MFU: each metric carries the compiled step's XLA flop count
+(`compiled.cost_analysis()`) and `mfu_pct` = flops / net-time / chip peak;
+the analytic per-modality FLOP model (unidistill_tpu/utils/flops.py)
+cross-checks the XLA number in tests/test_flops.py.
+
 `vs_baseline`: the reference repo publishes no numbers (BASELINE.md), so
 denominators are CONSTRUCTED per modality from published figures for the
 closest public models of the same architecture class (BEVFusion 8.4 fps /
 3090, CenterPoint ~11 fps / Titan RTX, BEVDet-R50 16.4 fps / 3090), scaled
 by a conservative 1.5-2x A100 uplift — provenance table in BASELINE.md.
-Output carries "baseline_constructed": true; per-modality ratios are in
-"extra".
+Output carries "baseline_constructed": true.
 
 Batches carry loader-side voxelization (data/voxelize_host.py), matching
 the real pipeline where worker processes overlap it with device compute.
@@ -38,8 +55,20 @@ BASELINES = {"camera": 25.0, "lidar": 18.0, "fusion": 15.0}
 A100_REF_FPS = BASELINES["camera"]
 BATCH = 4
 REPS = 7
-TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "1200"))
 _T0 = time.time()
+
+# chip peak for MFU (dense matmul units; v5e bf16). Overridable for other
+# chips via env.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", "1.97e14"))
+
+
+def _left():
+    return TIME_BUDGET_S - (time.time() - _T0)
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
 
 
 def median_sync_time(fn, reps=REPS):
@@ -51,6 +80,23 @@ def median_sync_time(fn, reps=REPS):
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2]
+
+
+def _xla_flops(jitted, *args, **kwargs):
+    """Per-call flop count of a jitted fn from XLA's cost analysis."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        return None
+
+
+def _mfu(flops, net_s):
+    if not flops or net_s <= 0:
+        return None
+    return round(100.0 * flops / net_s / PEAK_FLOPS, 2)
 
 
 def bench_eval(exp_factory, overhead_s):
@@ -78,10 +124,13 @@ def bench_eval(exp_factory, overhead_s):
     float(jnp.sum(step(state, batch)["scores"]))  # compile + warm
     raw = median_sync_time(lambda: float(jnp.sum(step(state, batch)["scores"])))
     net = max(raw - overhead_s, 1e-9)
+    flops = _xla_flops(step, state, batch)
     return dict(
         fps=round(BATCH / net, 2),
         ms_per_batch=round(net * 1e3, 1),
         ms_per_batch_raw=round(raw * 1e3, 1),
+        xla_flops_per_batch=flops,
+        mfu_pct=_mfu(flops, net),
     )
 
 
@@ -118,10 +167,13 @@ def bench_train(exp_factory, overhead_s):
     run()  # compile + warm
     raw = median_sync_time(run, reps=5)
     net = max(raw - overhead_s, 1e-9)
+    flops = _xla_flops(step, state, batch)
     return dict(
         sec_per_it=round(net, 3),
         sec_per_it_raw=round(raw, 3),
         frames_per_sec=round(BATCH / net, 2),
+        xla_flops_per_it=flops,
+        mfu_pct=_mfu(flops, net),
     )
 
 
@@ -178,10 +230,13 @@ def bench_distill_train(overhead_s):
     run()  # compile + warm
     raw = median_sync_time(run, reps=5)
     net = max(raw - overhead_s, 1e-9)
+    flops = _xla_flops(step, state, t_params, t_stats, batch)
     return dict(
         sec_per_it=round(net, 3),
         sec_per_it_raw=round(raw, 3),
         frames_per_sec=round(BATCH / net, 2),
+        xla_flops_per_it=flops,
+        mfu_pct=_mfu(flops, net),
     )
 
 
@@ -223,15 +278,27 @@ def _wait_for_backend(budget_s: float):
     return False
 
 
+def _headline(fps, extra):
+    return {
+        "metric": "camera_bev_eval_frames_per_sec_per_chip",
+        "value": fps,
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_REF_FPS, 3),
+        "baseline_constructed": True,
+        "batch": BATCH,
+        "extra": extra,
+    }
+
+
 def main():
-    if not _wait_for_backend(min(900.0, TIME_BUDGET_S / 3)):
-        print(json.dumps({
+    if not _wait_for_backend(min(600.0, TIME_BUDGET_S / 3)):
+        _emit({
             "metric": "camera_bev_eval_frames_per_sec_per_chip",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
             "error": "TPU backend unavailable (axon relay down past probe budget)",
-        }))
+        })
         return
 
     import jax
@@ -247,60 +314,66 @@ def main():
     float(noop(small)[0])  # compile
     ovh = median_sync_time(lambda: float(noop(small)[0]))
 
-    extra = {"relay_overhead_ms": round(ovh * 1e3, 1)}
-    cam = None
-    for name, factory in (
-        ("camera", camera_exp),
-        ("lidar", lidar_exp),
-        ("fusion", fusion_exp),
-    ):
-        if name != "camera" and time.time() - _T0 > TIME_BUDGET_S:
-            extra[f"{name}_eval"] = "skipped: time budget"
+    extra = {
+        "relay_overhead_ms": round(ovh * 1e3, 1),
+        "peak_flops_assumed": PEAK_FLOPS,
+        "time_budget_s": TIME_BUDGET_S,
+    }
+    cam_fps = 0.0
+
+    # headline first — its line must land even if everything after is killed
+    try:
+        r = bench_eval(camera_exp, ovh)
+        r["vs_baseline"] = round(r["fps"] / BASELINES["camera"], 3)
+        extra["camera_eval"] = r
+        cam_fps = r["fps"]
+    except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        extra["camera_eval"] = f"failed: {type(e).__name__}: {e}"[:200]
+    _emit(_headline(cam_fps, {"camera_eval": extra["camera_eval"],
+                              "relay_overhead_ms": extra["relay_overhead_ms"]}))
+
+    # secondary metrics, each streaming its own line as it completes;
+    # rough per-metric cost floors (cold compile + reps) gate on the budget
+    def eval_metric(name, factory):
+        r = bench_eval(factory, ovh)
+        r["vs_baseline"] = round(r["fps"] / BASELINES[name], 3)
+        return r, {"metric": f"{name}_eval_frames_per_sec_per_chip",
+                   "value": r["fps"], "unit": "frames/s",
+                   "vs_baseline": r["vs_baseline"],
+                   "baseline_constructed": True}
+
+    def train_metric(name, factory):
+        r = bench_train(factory, ovh)
+        return r, {"metric": f"{name}_train_sec_per_it",
+                   "value": r["sec_per_it"], "unit": "s/it"}
+
+    def distill_metric(name, _):
+        r = bench_distill_train(ovh)
+        return r, {"metric": "distill_train_lidar_to_camera_sec_per_it",
+                   "value": r["sec_per_it"], "unit": "s/it"}
+
+    jobs = [
+        ("lidar_eval", eval_metric, "lidar", lidar_exp, 120),
+        ("fusion_eval", eval_metric, "fusion", fusion_exp, 120),
+        ("camera_train", train_metric, "camera", camera_exp, 120),
+        ("lidar_train", train_metric, "lidar", lidar_exp, 180),
+        ("fusion_train", train_metric, "fusion", fusion_exp, 180),
+        ("distill_train_lidar_to_camera", distill_metric, "distill", None, 240),
+    ]
+    for key, fn, name, factory, floor_s in jobs:
+        if _left() < floor_s:
+            extra[key] = "skipped: time budget"
             continue
         try:
-            r = bench_eval(factory, ovh)
-            r["vs_baseline"] = round(r["fps"] / BASELINES[name], 3)
-            extra[f"{name}_eval"] = r
-            if name == "camera":
-                cam = r
-        except Exception as e:  # noqa: BLE001 — always emit the JSON line
-            extra[f"{name}_eval"] = f"failed: {type(e).__name__}: {e}"[:200]
-
-    # train-step throughput per modality (reference workload, VERDICT item 4)
-    for name, factory in (("camera", camera_exp), ("lidar", lidar_exp),
-                          ("fusion", fusion_exp)):
-        if time.time() - _T0 > TIME_BUDGET_S:
-            extra[f"{name}_train"] = "skipped: time budget"
-            continue
-        try:
-            extra[f"{name}_train"] = bench_train(factory, ovh)
+            r, line = fn(name, factory)
+            extra[key] = r
+            line["mfu_pct"] = r.get("mfu_pct")
+            _emit(line)
         except Exception as e:  # noqa: BLE001
-            extra[f"{name}_train"] = f"failed: {type(e).__name__}: {e}"[:200]
+            extra[key] = f"failed: {type(e).__name__}: {e}"[:200]
 
-    if time.time() - _T0 <= TIME_BUDGET_S:
-        try:
-            extra["distill_train_lidar_to_camera"] = bench_distill_train(ovh)
-        except Exception as e:  # noqa: BLE001
-            extra["distill_train_lidar_to_camera"] = (
-                f"failed: {type(e).__name__}: {e}"[:200]
-            )
-    else:
-        extra["distill_train_lidar_to_camera"] = "skipped: time budget"
-
-    fps = cam["fps"] if cam else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "camera_bev_eval_frames_per_sec_per_chip",
-                "value": fps,
-                "unit": "frames/s",
-                "vs_baseline": round(fps / A100_REF_FPS, 3),
-                "baseline_constructed": True,
-                "batch": BATCH,
-                "extra": extra,
-            }
-        )
-    )
+    extra["elapsed_s"] = round(time.time() - _T0, 1)
+    _emit(_headline(cam_fps, extra))
 
 
 if __name__ == "__main__":

@@ -161,16 +161,17 @@ def main():
         variants = {}
 
         def prod(a, c, mode):
-            os.environ["UNIDISTILL_SUBM_CASE_VIEW"] = mode
+            os.environ["UNIDISTILL_SUBM_PATH"] = mode
             try:
                 return _subm_impl(
                     a[0] + c.astype(dt) * 0, a[1], a[2], a[3], a[4],
                     a[5], None, a[6], "bfloat16")
             finally:
-                os.environ["UNIDISTILL_SUBM_CASE_VIEW"] = "auto"
+                os.environ.pop("UNIDISTILL_SUBM_PATH", None)
 
-        variants["prod_select"] = lambda a, c: prod(a, c, "0")
-        variants["caseview"] = lambda a, c: prod(a, c, "1")
+        variants["prod_select"] = lambda a, c: prod(a, c, "select")
+        variants["caseview"] = lambda a, c: prod(a, c, "case_view")
+        variants["fold"] = lambda a, c: prod(a, c, "fold")
         variants["zp14_2d"] = lambda a, c: zp14_2d(
             a[0] + c.astype(dt) * 0, a[1], a[2], a[3], a[4], a[5], a[6],
             C, co, dt)
