@@ -39,33 +39,61 @@ class RecordingDict(dict):
         return super().__contains__(k)
 
 
+# weight filler: zeros for the shape-coverage test; test_full_model_golden
+# swaps in a random rng-backed filler to drive the composed-numerics golden
+_RNG = None
+
+
+def _fill(*shape):
+    if _RNG is None:
+        return np.zeros(shape, np.float32)
+    # small weights keep activations in a well-conditioned range through
+    # the ~60-conv composed pipeline
+    fan_in = int(np.prod(shape[1:])) or 1
+    return (_RNG.normal(0, 1.0, shape) * (1.2 / np.sqrt(fan_in))).astype(
+        np.float32
+    )
+
+
 def _bn(sd, prefix, ch):
-    sd[f"{prefix}.weight"] = np.ones(ch, np.float32)
-    sd[f"{prefix}.bias"] = np.zeros(ch, np.float32)
-    sd[f"{prefix}.running_mean"] = np.zeros(ch, np.float32)
-    sd[f"{prefix}.running_var"] = np.ones(ch, np.float32)
+    if _RNG is None:
+        sd[f"{prefix}.weight"] = np.ones(ch, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(ch, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(ch, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(ch, np.float32)
+    else:
+        sd[f"{prefix}.weight"] = _RNG.normal(1, 0.1, ch).astype(np.float32)
+        sd[f"{prefix}.bias"] = _RNG.normal(0, 0.1, ch).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = _RNG.normal(0, 0.1, ch).astype(
+            np.float32
+        )
+        sd[f"{prefix}.running_var"] = _RNG.uniform(0.5, 2.0, ch).astype(
+            np.float32
+        )
     sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
 
 
 def _conv(sd, prefix, cout, cin, k, bias=False):
-    sd[f"{prefix}.weight"] = np.zeros((cout, cin, k, k), np.float32)
+    sd[f"{prefix}.weight"] = _fill(cout, cin, k, k)
     if bias:
-        sd[f"{prefix}.bias"] = np.zeros(cout, np.float32)
+        sd[f"{prefix}.bias"] = _fill(cout)
 
 
 def _deconv(sd, prefix, cin, cout, k):
-    sd[f"{prefix}.weight"] = np.zeros((cin, cout, k, k), np.float32)
+    sd[f"{prefix}.weight"] = _fill(cin, cout, k, k)
 
 
 def _spconv(sd, prefix, cout, cin, ksz, bias=False):
     kz, ky, kx = ksz
     # spconv >= 2.x native layout (O, kz, ky, kx, I)
-    sd[f"{prefix}.weight"] = np.zeros((cout, kz, ky, kx, cin), np.float32)
+    sd[f"{prefix}.weight"] = _fill(cout, kz, ky, kx, cin)
     if bias:
-        sd[f"{prefix}.bias"] = np.zeros(cout, np.float32)
+        sd[f"{prefix}.bias"] = _fill(cout)
 
 
-def build_reference_state_dict(cfg) -> RecordingDict:
+def build_reference_state_dict(cfg, rng=None) -> RecordingDict:
+    global _RNG
+    _RNG = rng
     sd = RecordingDict()
 
     # ---- lidar_encoder.backbone_3d (spconv_backbone.py:253-343) ----------
@@ -169,6 +197,7 @@ def build_reference_state_dict(cfg) -> RecordingDict:
     sd["det_head.dense_head.auto_loss.params"] = np.ones(
         len(cfg.det_head.code_weights) + 2, np.float32
     )
+    globals()["_RNG"] = None  # reset the module-level filler
     return sd
 
 

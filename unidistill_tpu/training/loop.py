@@ -88,6 +88,10 @@ def _decode_token(row: np.ndarray) -> Optional[str]:
 
 
 class Trainer:
+    # slot-cap truncation audit from the latest predict() pass (empty until
+    # the caps bound or predict ran without planner topology)
+    _last_drop_stats: Dict = {}
+
     def __init__(
         self,
         exp_cfg: ExpConfig,
@@ -360,6 +364,7 @@ class Trainer:
             try:
                 res = self.evaluate(state, val_loader, val_dataset)
                 rec = {"event": "val", "epoch": epoch, **(res or {})}
+                rec.update(self._last_drop_stats)
             except (ImportError, FileNotFoundError) as e:
                 # devkit / data root absent — log and continue training.
                 # Anything else (token misalignment, eval-path bug) must
@@ -374,6 +379,7 @@ class Trainer:
             rec = {
                 "event": "val", "epoch": epoch, "n_frames": len(preds),
                 "n_dets": n_det, "mean_score": mean_score,
+                **self._last_drop_stats,
             }
         rec["val_sec"] = time.time() - t0
         self.log(rec)
@@ -392,6 +398,11 @@ class Trainer:
                 functools.partial(eval_step, model=self.model, cfg=self.cfg)
             )
         multihost = jax.process_count() > 1
+        # s0 slot-cap truncation audit (VERDICT r3 item 6): eval frames are
+        # where the 160k voxel cap and the 131072 slot cap actually BIND
+        # (configs/nuscenes.py:92-101) — surface per-frame drop counts so a
+        # real-data run can immediately bound the mAP risk of the caps.
+        drops: List[int] = []
         out: List[Dict] = []
         for batch in loader:
             dev_batch = {
@@ -415,19 +426,32 @@ class Trainer:
                 rois_list = all_gather_host_objects([rois])
             else:
                 rois_list = [rois]
+            bdrop = np.asarray(batch.get("topo_s0_dropped", ())).reshape(-1)
             for j, r in enumerate(rois_list):
                 B = r["boxes"].shape[0]
                 for b in range(B):
                     m = r["mask"][b]
-                    out.append(
-                        dict(
-                            boxes=r["boxes"][b][m],
-                            scores=r["scores"][b][m],
-                            labels=r["labels"][b][m] - 1,
-                            meta=(batch["meta"][b] if not multihost
-                                  else {"token": _decode_token(r["tokens"][b])}),
-                        )
+                    rec = dict(
+                        boxes=r["boxes"][b][m],
+                        scores=r["scores"][b][m],
+                        labels=r["labels"][b][m] - 1,
+                        meta=(batch["meta"][b] if not multihost
+                              else {"token": _decode_token(r["tokens"][b])}),
                     )
+                    # drop counts ride the LOCAL batch only (they never enter
+                    # the device allgather); multihost gathers skip them
+                    if not multihost and b < len(bdrop):
+                        rec["s0_dropped"] = int(bdrop[b])
+                        drops.append(int(bdrop[b]))
+                    out.append(rec)
+        self._last_drop_stats = (
+            {
+                "s0_frames_dropping": int(sum(d > 0 for d in drops)),
+                "s0_slots_dropped_total": int(sum(drops)),
+                "s0_slots_dropped_max": int(max(drops)),
+            }
+            if drops else {}
+        )
         return out
 
     def evaluate(
