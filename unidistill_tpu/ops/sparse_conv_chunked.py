@@ -545,42 +545,64 @@ def _subm_fwd(feats, occ_bits, colkey, chunk, valid, weight, bias, tables,
 def _subm_bwd(dtype_str, res, g):
     # The backward computes in the FORWARD dtype (bf16 in production, f32 in
     # the oracle tests) with f32 GEMM accumulation.
+    #
+    # ONE window pass serves both cotangents (r4 — the old backward built a
+    # second window table over `feats` and regathered 8·S rows just for
+    # dweight; that pass was ~1/3 of the encoder backward, PROFILE.md):
+    #   d feats: offset-reversed conv of g with W^T —
+    #     out[v] = Σ_k W[k] f[v + k − 1]  ⇒  df[u] = Σ_k W[k]^T g[u − k + 1]
+    #   d weight from the SAME reverse-gathered g windows: with
+    #     gwin[8−o](u)[p] = g at z = 4·ch(u) − 1 + p (the case mechanism
+    #     z-aligns the window to u), re-indexing dW[o] = Σ_s win_x[o,s] ⊗ g[s]
+    #     by u = n_o(s) gives
+    #       dw[dz, o][c, k] = Σ_u Σ_q' x_own[u][q', c] · gwin[8−o](u)[q'−dz+2, k]
+    #     — only u's OWN 4-z rows of x appear, so no x-side table or gather.
     feats, occ_bits, colkey, chunk, valid, weight, has_bias, tables = res
     B, S, FC = feats.shape
     C = FC // CHUNK
     co = weight.shape[-1]
     dt = jnp.dtype(dtype_str)
     g = zmask(occ_bits, co, g).astype(dt)
+    x_flat = zmask(occ_bits, C, feats.astype(dt))  # [B, S, 4C]
 
-    # d feats: offset-reversed conv of g with W^T:
-    #   out[v] = Σ_k W[k] f[v + k − 1]  ⇒  df[u] = Σ_k W[k]^T g[u − k + 1]
     wT = jnp.swapaxes(_w_zyx(weight), 3, 4).reshape(27, co, C)
-    dfeats = _subm_impl(
-        g, occ_bits, colkey, chunk, valid, wT.astype(dt), None, tables,
-        dtype_str, reverse=True,
-    ).astype(feats.dtype)
+    w3r = _w_zyx(wT.astype(dt))[::-1]  # z-tap flip (reverse conv)
+    W6r = _band_weight(w3r, co, C, 6, 1, dt)      # [9, 6co, 4C]
 
-    # d weight / d bias: regather input windows (flat), one batched
-    # outer-product GEMM, then fold the banded [9, 6C, 4co] gradient back
-    # to the 27-tap parameter (the transpose of `_band_weight`)
-    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt)
+    tab_g = _window_table(g, occ_bits, colkey, chunk, valid, False, dt)
     offs = np.asarray(_OFFS8)
-    dW8 = jnp.zeros((8, 6 * C, 4 * co), jnp.float32)
+    oo = 8 - offs                                  # gather-side offsets
+    case_view = _use_case_view(S, co)
+    tabv = _case_view(tab_g, B, co) if case_view else None
+    daccs = []
+    dW8n = jnp.zeros((8, 4 * C, 6 * co), jnp.float32)
     for b in range(B):
-        g8 = rowgather(tab[b], tables.nbr_idx[b][offs].reshape(-1))
-        win = _extract_subm_window(
-            g8, tables.nbr_case[b][offs].reshape(-1), C
-        ).reshape(8, S, 6 * C)
-        dW8 = dW8 + jnp.einsum("osw,sk->owk", win, g[b],
-                               preferred_element_type=jnp.float32)
-    gf = g.reshape(B * S, 4 * co)
-    gc = tab[:, :S, 0:6 * C].reshape(B * S, 6 * C)
-    dWc = jnp.einsum("bw,bk->wk", gc, gf, preferred_element_type=jnp.float32)
-    dW9 = jnp.zeros((9, 6 * C, 4 * co), jnp.float32)
-    dW9 = dW9.at[offs].set(dW8).at[4].set(dWc)
-    dW9 = dW9.reshape(9, 6, C, 4, co)
+        if case_view:
+            i3 = (tables.nbr_idx[b][oo] * 3
+                  + tables.nbr_case[b][oo]).reshape(-1)
+            win = rowgather(tabv[b], i3).reshape(8, S, 6 * co)
+        else:
+            g8 = rowgather(tab_g[b], tables.nbr_idx[b][oo].reshape(-1))
+            win = _extract_subm_window(
+                g8, tables.nbr_case[b][oo].reshape(-1), co
+            ).reshape(8, S, 6 * co)
+        daccs.append(jnp.einsum("osw,owk->osk", win, W6r[offs],
+                                preferred_element_type=dt).sum(0))
+        dW8n = dW8n + jnp.einsum("sw,osk->owk", x_flat[b], win,
+                                 preferred_element_type=jnp.float32)
+    dacc = jnp.stack(daccs).reshape(B, S, 4 * C)
+    gc = tab_g[:, :S, 0:6 * co].reshape(B * S, 6 * co)
+    dacc = dacc + jnp.einsum("bw,wk->bk", gc, W6r[4],
+                             preferred_element_type=dt).reshape(B, S, 4 * C)
+    dfeats = zmask(occ_bits, C, dacc).astype(feats.dtype)
+
+    dWcn = jnp.einsum("bw,bk->wk", x_flat.reshape(B * S, 4 * C), gc,
+                      preferred_element_type=jnp.float32)  # [4C, 6co]
+    dW9n = jnp.zeros((9, 4 * C, 6 * co), jnp.float32)
+    dW9n = dW9n.at[offs].set(dW8n).at[4].set(dWcn)
+    dW9n = dW9n.reshape(9, 4, C, 6, co)
     dw = jnp.stack([
-        sum(dW9[:, zi + dz, :, zi, :] for zi in range(4))
+        sum(dW9n[:, q, :, q - dz + 2, :] for q in range(4))
         for dz in range(3)
     ])  # [3, 9, C, co] z-major
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
@@ -919,6 +941,11 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
     boff2 = (jnp.arange(B, dtype=jnp.int32) * (S2 + 1))[:, None]
     dcols = [jnp.zeros((B * S, C), jnp.float32) for _ in range(CHUNK)]
     wT = jnp.swapaxes(w, 3, 4)  # [kz, ky, kx, co, C]
+    # dW from the SAME reverse windows (r4, see _down2_v2_bwd): vals[u]
+    # holds g at the out-z feeding this input slot, so no forward-window
+    # regather is needed for the weight gradient.
+    x_flat = zmask(occ_bits, C, feats.astype(dt)).reshape(B * S, CHUNK * C)
+    dWM = jnp.zeros((9, CHUNK * C, 3 * co), jnp.float32)
     for o in range(9):
         ky, kx = o // 3, o % 3
         if sites.rev is not None:
@@ -960,20 +987,18 @@ def _down2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, gs):
                 "bo,oc->bc", vals[u], wT[kz, ky, kx],
                 preferred_element_type=jnp.float32,
             )
+        win3 = jnp.concatenate([vals[0], vals[1], vals[2]], axis=1)
+        dWM = dWM.at[o].add(jnp.einsum(
+            "nw,nk->wk", x_flat, win3.astype(dt),
+            preferred_element_type=jnp.float32,
+        ))
     df = jnp.concatenate(dcols, axis=1).reshape(B, S, CHUNK * C)
     dfeats = zmask(occ_bits, C, df).astype(feats.dtype)
 
-    # d weight / d bias: regather forward windows (flat), one batched
-    # outer-product GEMM, fold the banded gradient back (stride-2 band)
-    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt)
-    dW9 = jnp.zeros((9, 9 * C, 4 * co), jnp.float32)
-    for b in range(B):
-        w9f, _ = _down2_window_b(tab[b], sites, b, C, False)
-        dW9 = dW9 + jnp.einsum("osw,sk->owk", w9f, g[b],
-                               preferred_element_type=jnp.float32)
-    dW9 = dW9.reshape(9, 9, C, 4, co)
+    dWM = dWM.reshape(9, CHUNK, C, 3, co)
     dw = jnp.stack([
-        sum(dW9[:, 2 * zi + kz, :, zi, :] for zi in range(4))
+        sum(dWM[:, zi, :, (zi + 1 - kz) // 2, :] for zi, kz_ in zk
+            if kz_ == kz)
         for kz in range(3)
     ])  # [3, 9, C, co] z-major
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
@@ -1067,7 +1092,11 @@ def _down2_v2_fwd(feats, occ_bits, colkey, chunk, valid, weight, bias, sites,
 
 def _down2_v2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, g):
     """Identical transpose to `_down2_bwd` (reverse parity-masked gather via
-    the host `sites.rev` resolve), with dW regathered from 13-z windows."""
+    the host `sites.rev` resolve). dW comes from the SAME reverse-gathered
+    `win3` windows (r4): win3[u][u_idx] already holds g at the out-z feeding
+    input slot u's column, so dW[kz, o] = Σ_u x_own[u][q'] ⊗ win3[u][u_idx]
+    over the parity-valid (q', kz, u_idx = (q'+1−kz)/2) pairs — the former
+    13-z forward-window table + its 9·S2 regather disappear."""
     (feats, occ_bits, colkey, chunk, valid, weight, has_bias, sites,
      occ_bits_out) = res
     D2, H2, W2 = out_spatial_shape
@@ -1088,7 +1117,9 @@ def _down2_v2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, g):
     boff2 = (jnp.arange(B, dtype=jnp.int32) * (S2 + 1))[:, None]
     N = B * S
     wT = jnp.swapaxes(w, 3, 4)  # [kz, ky, kx, co, C]
+    x_flat = zmask(occ_bits, C, feats.astype(dt)).reshape(N, CHUNK * C)
     dall = jnp.zeros((N, CHUNK * C), jnp.float32)
+    dWM = jnp.zeros((9, CHUNK * C, 3 * co), jnp.float32)
     for o in range(9):
         ky, kx = o // 3, o % 3
         rv = sites.rev[:, o]
@@ -1117,19 +1148,17 @@ def _down2_v2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, g):
             "nw,wc->nc", win3, Wc.reshape(3 * co, CHUNK * C),
             preferred_element_type=jnp.float32,
         )
+        dWM = dWM.at[o].add(jnp.einsum(
+            "nw,nk->wk", x_flat, win3,
+            preferred_element_type=jnp.float32,
+        ))
     df = dall.reshape(B, S, CHUNK * C)
     dfeats = zmask(occ_bits, C, df).astype(feats.dtype)
 
-    tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt,
-                        rowz=13)
-    dW9 = jnp.zeros((9, 9 * C, 4 * co), jnp.float32)
-    for b in range(B):
-        w9f = _down2_v2_windows(tab[b], sites, b, C)
-        dW9 = dW9 + jnp.einsum("osw,sk->owk", w9f, g[b],
-                               preferred_element_type=jnp.float32)
-    dW9 = dW9.reshape(9, 9, C, 4, co)
+    dWM = dWM.reshape(9, CHUNK, C, 3, co)
     dw = jnp.stack([
-        sum(dW9[:, 2 * zi + kz, :, zi, :] for zi in range(4))
+        sum(dWM[:, zi, :, (zi + 1 - kz) // 2, :] for zi, kz_ in zk
+            if kz_ == kz)
         for kz in range(3)
     ])  # [3, 9, C, co] z-major
     dweight = dw.reshape(27, C, co).astype(weight.dtype)
