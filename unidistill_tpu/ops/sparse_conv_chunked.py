@@ -370,7 +370,14 @@ def _window_table(feats, occ_bits, colkey, chunk, valid, with_occ: bool, dt,
         )
         pieces += [o_halo, o4, o_next, o_s2]
     rows = jnp.concatenate(pieces, axis=2)
-    rows = jnp.where(valid[..., None], rows, 0.0)
+    # No valid-mask pass: invalid slots are already all-zero lanes (occ_bits
+    # is 0 there, so the zmask above zeroes them) and their colkey is the
+    # H·W sentinel, so no valid slot's delta_mask ever matches an invalid
+    # neighbor. Invalid ROWS may receive halo lanes from a preceding valid
+    # slot, but no gather ever targets them (nbr tables index valid slots or
+    # the miss row) and the center path's product is zmask'd by the caller.
+    # Dropping the mask removes a full [B,S+1,10C] read+write (~0.9 ms/conv
+    # at s2, experiments/mb_pieces.py window_table vs flat-minor).
     return jnp.concatenate(
         [rows, jnp.zeros((B, 1, rows.shape[2]), rows.dtype)], axis=1
     )
