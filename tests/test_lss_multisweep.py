@@ -4,6 +4,7 @@ shared, sweeps > 0 under stop_gradient."""
 import numpy as np
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from unidistill_tpu.configs.nuscenes import tiny_model
@@ -58,6 +59,7 @@ def test_multisweep_concat_matches_single_sweeps():
         )
 
 
+@pytest.mark.slow  # 32 s — concat-matches-single-sweeps stays in the fast suite
 def test_multisweep_only_key_frame_carries_grad():
     ccfg = tiny_model().camera_encoder
     B, S, N = 1, 2, ccfg.num_cams

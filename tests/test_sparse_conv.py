@@ -4,6 +4,7 @@ evaluated at its active sites must equal the dense convolution there."""
 import numpy as np
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from unidistill_tpu.ops.sparse_conv import (
@@ -138,6 +139,7 @@ def test_subm_grad_flows():
     assert np.isfinite(np.asarray(gf)).all() and np.abs(np.asarray(gf)).sum() > 0
 
 
+@pytest.mark.slow  # 17 s — per-voxel path oracles remain fast via test_sparse_conv dense checks
 def test_batched_ops_match_per_sample():
     """Batched-global (flat-row-index) sparse ops == vmapped per-sample ops."""
     from unidistill_tpu.ops.sparse_conv import (

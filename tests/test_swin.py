@@ -2,11 +2,13 @@
 import numpy as np
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from unidistill_tpu.layers.swin import SwinTransformer, _shift_attn_mask
 
 
+@pytest.mark.slow  # 33 s — the torch-golden swin test below keeps fast parity coverage
 def test_swin_output_shapes():
     m = SwinTransformer(embed_dim=24, depths=(1, 1, 2, 1), num_heads=(2, 2, 4, 4),
                         window_size=7, out_indices=(1, 2, 3), dtype=jnp.float32)
