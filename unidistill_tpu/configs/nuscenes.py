@@ -109,6 +109,17 @@ class LidarEncoderConfig:
     #                s3 on (round-2 fast path, custom-VJP backward)
     #   "pervoxel" — round-1 per-voxel gather-GEMM throughout
     encoder_impl: str = "chunked"
+    # Stages whose res blocks are NOT rematerialized in training (TPU-only
+    # memory/time knob; identical math). The chunked convs carry custom
+    # VJPs that save only their INPUTS, so skipping block remat stores just
+    # the few inter-conv activations of that stage while deleting a full
+    # forward replay from the backward. Measured r4 (b4 lidar train,
+    # experiments/mb_remat.py): remat-all 1.498 s/it @ 10.25 GiB temps;
+    # no-remat res1+res3 1.362 @ 10.56; +res2 1.253 @ 11.27 (ADOPTED —
+    # 4.7 GiB headroom holds for the fusion step too); +res4 1.222 @ 13.71
+    # (available headroom-permitting; left remat'd so the heavier fusion
+    # train graph keeps margin).
+    no_remat_stages: Tuple[str, ...] = ("res1", "res2", "res3")
 
 
 @dataclass(frozen=True)

@@ -544,13 +544,24 @@ class VoxelResBackBone8x(nn.Module):
         def bn_relu_ch(f, occ_bits, name):
             return nn.relu(MaskedBatchNormZ(name=name)(f, occ_bits, train))
 
+        # selective block remat (cfg.no_remat_stages): the chunked convs'
+        # custom VJPs already save only their inputs, so skipping remat on
+        # a stage stores just its inter-conv activations while removing a
+        # full forward replay from the backward (param trees identical)
+        nr = self.cfg.no_remat_stages
+
+        def block_c(stage, planes, name):
+            cls = (SparseBasicBlockChunked if stage in nr
+                   else _RematBlockC)
+            return cls(planes, dt, name=name)
+
         f = _SubMConvChunked(cin, 16, False, dt, cin_pad=cin_pad,
                              name="conv_input")(
             st.feats, st.occ_bits, st.colkey, st.chunk, st.valid, tb0)
         f = bn_relu_ch(f, st.occ_bits, "bn_input")
-        f = _RematBlockC(16, dt, name="res1a")(
+        f = block_c("res1", 16, "res1a")(
             f, st.occ_bits, st.colkey, st.chunk, st.valid, tb0, train)
-        f = _RematBlockC(16, dt, name="res1b")(
+        f = block_c("res1", 16, "res1b")(
             f, st.occ_bits, st.colkey, st.chunk, st.valid, tb0, train)
 
         if topo is not None:
@@ -573,9 +584,9 @@ class VoxelResBackBone8x(nn.Module):
             )
             occ2 = jax.lax.stop_gradient(occ2)  # integer topology (no JVP)
         f2 = bn_relu_ch(f2, occ2, "bn2")
-        f2 = _RematBlockC(32, dt, name="res2a")(
+        f2 = block_c("res2", 32, "res2a")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, tb2, train)
-        f2 = _RematBlockC(32, dt, name="res2b")(
+        f2 = block_c("res2", 32, "res2b")(
             f2, occ2, sites2.colkey, sites2.chunk, sites2.valid, tb2, train)
 
         # s3 stays chunked too: at the 65k slot cap, 9 row-gathers/slot
@@ -602,9 +613,9 @@ class VoxelResBackBone8x(nn.Module):
             )
             occ3 = jax.lax.stop_gradient(occ3)  # integer topology (no JVP)
         f3 = bn_relu_ch(f3, occ3, "bn3")
-        f3 = _RematBlockC(64, dt, name="res3a")(
+        f3 = block_c("res3", 64, "res3a")(
             f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)
-        f3 = _RematBlockC(64, dt, name="res3b")(
+        f3 = block_c("res3", 64, "res3b")(
             f3, occ3, sites3.colkey, sites3.chunk, sites3.valid, tb3, train)
 
         st3 = ChunkedSparseTensor(f3, occ3, sites3.colkey, sites3.chunk,
@@ -625,8 +636,8 @@ class VoxelResBackBone8x(nn.Module):
         occ4 = _maxpool_occ(occz3, (3, 3, 3), (2, 2, 2), (0, 1, 1))
         d4 = jnp.transpose(d4, (0, 3, 1, 2, 4))  # z-outer [B, 5, 180, 180, 128]
         d4 = bn_relu_d(d4, occ4, "bn4")
-        d4 = _RematBlockD(128, dt, name="res4a")(d4, occ4, train)
-        d4 = _RematBlockD(128, dt, name="res4b")(d4, occ4, train)
+        d4 = (SparseBasicBlockDense if "res4" in nr else _RematBlockD)(128, dt, name="res4a")(d4, occ4, train)
+        d4 = (SparseBasicBlockDense if "res4" in nr else _RematBlockD)(128, dt, name="res4b")(d4, occ4, train)
 
         d5 = _DenseConv3d(128, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0), False,
                           dt, name="conv_out")(d4)
