@@ -118,7 +118,9 @@ def test_roundtrip_to_dense():
     assert got_occ[:, D:].sum() == 0
 
 
-def test_subm_conv_matches_dense():
+@pytest.mark.parametrize("mode", ["select", "case_view", "banded"])
+def test_subm_conv_matches_dense(mode, monkeypatch):
+    monkeypatch.setenv("UNIDISTILL_SUBM_MODE", mode)
     rng = np.random.RandomState(1)
     shape = (9, 10, 12)
     feats, coords = _random_voxels(rng, shape, 60, 4, cap=80)
@@ -199,7 +201,9 @@ def test_down2_conv_matches_dense(shape):
     assert np.abs(_unfold(out, 6) * (1 - mask)).sum() == 0
 
 
-def test_subm_vjp_matches_dense():
+@pytest.mark.parametrize("mode", ["select", "banded"])
+def test_subm_vjp_matches_dense(mode, monkeypatch):
+    monkeypatch.setenv("UNIDISTILL_SUBM_MODE", mode)
     rng = np.random.RandomState(3)
     shape = (6, 6, 8)
     feats, coords = _random_voxels(rng, shape, 40, 3, cap=48)

@@ -402,6 +402,43 @@ def _case_view(tab, B, C):
     return v.reshape(B, Sp1 * 3, 6 * C)
 
 
+def _banded_view(tab, B, C):
+    """Window table [B, S+1, 10·C] → case-BANDED 6-z views
+    [B, 3·(S+1), 6·C]: band c holds the case-c resolution of every row, so
+    one gather with index case·(S+1)+row fetches the final subm window.
+
+    Unlike `_case_view` (idx = 3·row+case), consecutive case-0 rows stay
+    array-adjacent — and on realistic clouds 94-96% of s2/s3 neighbor HITS
+    are case 0 (experiments/mb_subm_banded.py), so the per-offset gather
+    stream keeps its monotone locality (the property the interleaved
+    layout's ~2× slowdown above ~80 MB was traced to, PROFILE.md r4).
+    Misses (idx=S, case=2 per topology_host._resolve) land on row S of
+    band 2, which — like row S of every band — is all-zero."""
+    Sp1 = tab.shape[1]
+    v0 = tab[:, :, 0:6 * C]
+    v1 = tab[:, :, 4 * C:10 * C]
+    v2 = jnp.concatenate(
+        [jnp.zeros_like(tab[:, :, 0:4 * C]), tab[:, :, 0:2 * C]], axis=2
+    )
+    return jnp.concatenate([v0, v1, v2], axis=1)
+
+
+def _fetch_windows(tab, tabv, mode, tables, oo, b, S, C):
+    """Per-sample window fetch [8, S, 6C] under the chosen subm mode."""
+    if mode == "banded":
+        i = (tables.nbr_case[b][oo] * (S + 1)
+             + tables.nbr_idx[b][oo]).reshape(-1)
+        return rowgather(tabv[b], i).reshape(8, S, 6 * C)
+    if mode == "case_view":
+        i3 = (tables.nbr_idx[b][oo] * 3
+              + tables.nbr_case[b][oo]).reshape(-1)
+        return rowgather(tabv[b], i3).reshape(8, S, 6 * C)
+    g = rowgather(tab[b], tables.nbr_idx[b][oo].reshape(-1))
+    return _extract_subm_window(
+        g, tables.nbr_case[b][oo].reshape(-1), C
+    ).reshape(8, S, 6 * C)
+
+
 def _band_weight(w3, C: int, co: int, window: int, zstride: int, dt):
     """Fold the 3 z taps into a banded [9, window·C, 4·co] weight so the
     whole z correlation is ONE batched GEMM per conv:
@@ -450,26 +487,34 @@ def _w_zyx(weight: jnp.ndarray):
 _OFFS8 = tuple(o for o in range(9) if o != 4)  # non-center xy offsets
 
 
-def _use_case_view(S: int, C: int) -> bool:
-    """Select-free subm path: gather from the 3-view case-resolved table
-    (`_case_view`, idx = 3·row + case) instead of post-gather selects.
-    Trades a 1.8× bigger table build for no post-gather select pass. Only
-    pays when the per-sample 3-view table stays well under the measured
-    ~80 MB gather-rate cliff ((S+1)·18·C·2 bytes). Threshold set from the
-    measured A/B (r3): wins 2× at 75.5 MB, loses 2× at 92 MB
-    (experiments/mb_subm_r3.py, mb_gather_flags.py).
-    UNIDISTILL_SUBM_CASE_VIEW=0/1 overrides (perf experiments)."""
+def _subm_mode(S: int, C: int) -> str:
+    """Subm window-fetch mode: how gathered rows become [·, 6C] windows.
+
+      "select"    — gather full 10C rows from the window table, 3-way
+                    post-gather case select (`_extract_subm_window`).
+      "case_view" — select-free: gather 6C rows from the case-INTERLEAVED
+                    3-view table (`_case_view`, idx = 3·row+case). Wins
+                    only while the table stays under the ~80 MB locality
+                    cliff (measured r3: 2× win at 75.5 MB, 2× loss at
+                    92 MB — interleaving dilutes per-offset locality).
+      "banded"    — select-free: gather 6C rows from the case-BANDED
+                    table (`_banded_view`, idx = case·(S+1)+row), which
+                    keeps the dominant case-0 stream monotone (94-96% of
+                    hits on realistic clouds).
+
+    UNIDISTILL_SUBM_MODE forces a mode (perf experiments); the legacy
+    UNIDISTILL_SUBM_CASE_VIEW=0/1 still forces select/case_view."""
     import os
 
-    env = os.environ.get("UNIDISTILL_SUBM_CASE_VIEW", "auto")
-    if env in ("0", "1"):
-        return env == "1"
-    # measured A/B (experiments/mb_subm_r3.py + mb_gather_flags.py, v5e):
-    #   s0 S=131072 C=16 (75.5 MB 3-view): case-view 14.6 vs select 26.8 ms
-    #   s0 S=160000 C=16 (92 MB):          case-view 64.3 vs select 33.0 ms
-    #   s2 S=98304  C=32 (113 MB):         case-view 53.0 vs select 25.3 ms
-    # → the win flips exactly at the ~80 MB VMEM-residency cliff
-    return (S + 1) * 18 * C * 2 < 78 * 2**20
+    env = os.environ.get("UNIDISTILL_SUBM_MODE", "auto")
+    if env in ("select", "case_view", "banded"):
+        return env
+    legacy = os.environ.get("UNIDISTILL_SUBM_CASE_VIEW", "auto")
+    if legacy in ("0", "1"):
+        return "case_view" if legacy == "1" else "select"
+    # r3-measured rule (banded pending its TPU A/B — experiments/
+    # mb_subm_banded.py): case-view under the ~80 MB cliff, else select.
+    return "case_view" if (S + 1) * 18 * C * 2 < 78 * 2**20 else "select"
 
 
 def _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
@@ -506,19 +551,12 @@ def _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
 
     offs = np.asarray(_OFFS8)
     oo = (8 - offs) if reverse else offs          # gather-side offsets
-    case_view = _use_case_view(S, C)
-    tabv = _case_view(tab, B, C) if case_view else None
+    mode = _subm_mode(S, C)
+    tabv = (_banded_view(tab, B, C) if mode == "banded"
+            else _case_view(tab, B, C) if mode == "case_view" else None)
     accs = []
     for b in range(B):
-        if case_view:
-            i3 = (tables.nbr_idx[b][oo] * 3
-                  + tables.nbr_case[b][oo]).reshape(-1)
-            win = rowgather(tabv[b], i3).reshape(8, S, 6 * C)
-        else:
-            g = rowgather(tab[b], tables.nbr_idx[b][oo].reshape(-1))
-            win = _extract_subm_window(
-                g, tables.nbr_case[b][oo].reshape(-1), C
-            ).reshape(8, S, 6 * C)
+        win = _fetch_windows(tab, tabv, mode, tables, oo, b, S, C)
         accs.append(jnp.einsum("osw,owk->osk", win, W6[offs],
                                preferred_element_type=dt).sum(0))
     acc = jnp.stack(accs).reshape(B, S, 4 * co)
@@ -579,20 +617,13 @@ def _subm_bwd(dtype_str, res, g):
     tab_g = _window_table(g, occ_bits, colkey, chunk, valid, False, dt)
     offs = np.asarray(_OFFS8)
     oo = 8 - offs                                  # gather-side offsets
-    case_view = _use_case_view(S, co)
-    tabv = _case_view(tab_g, B, co) if case_view else None
+    mode = _subm_mode(S, co)
+    tabv = (_banded_view(tab_g, B, co) if mode == "banded"
+            else _case_view(tab_g, B, co) if mode == "case_view" else None)
     daccs = []
     dW8n = jnp.zeros((8, 4 * C, 6 * co), jnp.float32)
     for b in range(B):
-        if case_view:
-            i3 = (tables.nbr_idx[b][oo] * 3
-                  + tables.nbr_case[b][oo]).reshape(-1)
-            win = rowgather(tabv[b], i3).reshape(8, S, 6 * co)
-        else:
-            g8 = rowgather(tab_g[b], tables.nbr_idx[b][oo].reshape(-1))
-            win = _extract_subm_window(
-                g8, tables.nbr_case[b][oo].reshape(-1), co
-            ).reshape(8, S, 6 * co)
+        win = _fetch_windows(tab_g, tabv, mode, tables, oo, b, S, co)
         daccs.append(jnp.einsum("osw,owk->osk", win, W6r[offs],
                                 preferred_element_type=dt).sum(0))
         dW8n = dW8n + jnp.einsum("sw,osk->owk", x_flat[b], win,
