@@ -141,10 +141,76 @@ def interleaved_cv(feats, occ_bits, ck, ch, vd, w, tables, C, co, dt):
     return zmask(occ_bits, co, _center(tab, W6, Bb, S, C, co, dt, acc))
 
 
+def realistic_down_inputs(which, seed=0):
+    """Planner DownSites + input tensors for down2 (s0→s2) / down3 (s2→s3)."""
+    from unidistill_tpu.ops.sparse_conv_chunked import sites_from_host
+
+    cfg = lidar_exp().model
+    rng = np.random.RandomState(seed)
+    frames = []
+    for b in range(B):
+        pts = realistic_cloud(rng)
+        vf, vc = voxelize_frame(pts, np.ones(len(pts), bool), cfg,
+                                training=False)
+        topo = plan_frame_topology(
+            vc, cfg.grid_size, cfg.lidar_encoder.stage_voxel_caps,
+            s0_cap=cfg.lidar_encoder.s0_slot_cap,
+        )
+        topo["V"] = vc.shape[0]
+        frames.append(topo)
+
+    if which == "down2":
+        i_sfx, o_sfx, C, co, hw_in, hw_out = "0", "2", 16, 32, 1440**2, 720**2
+    else:
+        i_sfx, o_sfx, C, co, hw_in, hw_out = "2", "3", 32, 64, 720**2, 360**2
+    st = lambda k: jnp.asarray(np.stack([t[k] for t in frames]))  # noqa: E731
+    ck_in, ch_in = st(f"ck{i_sfx}"), st(f"ch{i_sfx}")
+    occ_in = (jnp.stack([bits_of_occ(jnp.asarray(t["src0"] < t["V"]))
+                         for t in frames]) if which == "down2"
+              else st(f"occ{i_sfx}"))
+    sites = sites_from_host(st(f"ck{o_sfx}"), st(f"ch{o_sfx}"),
+                            st(f"a{o_sfx}"), st(f"b{o_sfx}"),
+                            st(f"rev{o_sfx}"), hw_out)
+    occ_out = st(f"occ{o_sfx}")
+    S = ck_in.shape[1]
+    nrng = np.random.default_rng(seed + 1)
+    feats = zmask(occ_in, C, jnp.asarray(
+        nrng.standard_normal((B, S, 4 * C)) * 0.1, jnp.bfloat16))
+    w = jnp.asarray(nrng.standard_normal((27, C, co)) * 0.05, jnp.float32)
+    return (feats, occ_in, ck_in, ch_in, ck_in < hw_in, sites, occ_out, w)
+
+
+def bench_down(which):
+    import os
+
+    from unidistill_tpu.ops.sparse_conv_chunked import _down2_v2_impl
+
+    ovh = overhead()
+    feats, occ_in, ck, ch, vd, sites, occ_out, w = \
+        realistic_down_inputs(which)
+    dt = jnp.bfloat16
+    args = (feats, occ_in, ck, ch, vd, w, sites, occ_out)
+    for mode in ("0", "1"):
+        os.environ["UNIDISTILL_DOWN_BANDED"] = mode
+
+        def op(a, c, _m=mode):  # _m pins retrace per mode
+            return _down2_v2_impl(a[0] + c.astype(dt) * 0, a[1], a[2], a[3],
+                                  a[4], a[5], None, a[6], a[7], "bfloat16")
+
+        f = jax.jit(scan_op(op))
+        t = timed(f, *args, ovh=ovh)
+        label = {"0": "select", "1": "banded"}[mode]
+        print(f"  {which} {label:12s}: {t*1e3:7.2f} ms/conv", flush=True)
+    del os.environ["UNIDISTILL_DOWN_BANDED"]
+
+
 def main():
     ovh = overhead()
     print(f"overhead {ovh*1e3:.1f} ms", flush=True)
-    for stage in (sys.argv[1:] or ["s0", "s2", "s3"]):
+    stages = sys.argv[1:] or ["s0", "s2", "s3", "down2", "down3"]
+    for which in [s for s in stages if s.startswith("down")]:
+        bench_down(which)
+    for stage in [s for s in stages if not s.startswith("down")]:
         t0 = time.time()
         feats, occ_bits, ck, ch, vd, tb, w, S, C = \
             realistic_stage_inputs(stage)
