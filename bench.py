@@ -54,7 +54,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 BASELINES = {"camera": 25.0, "lidar": 18.0, "fusion": 15.0}
 A100_REF_FPS = BASELINES["camera"]
 BATCH = 4
-REPS = 7
+REPS = 5  # was 7; trimmed r5 so the distill metric fits the budget
 TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "1200"))
 _T0 = time.time()
 
@@ -99,6 +99,42 @@ def _mfu(flops, net_s):
     return round(100.0 * flops / net_s / PEAK_FLOPS, 2)
 
 
+def pipelined_ms_per_step(step, state, batch, K=8, reps=3):
+    """Per-step ms of K chained steps in ONE dispatch (lax.scan), validating
+    the relay-overhead subtraction: in a pipelined deployment the ~30 ms
+    dispatch overhead amortizes over in-flight steps, so per-step time should
+    match the overhead-subtracted `net`, not `raw` (VERDICT r4 weak #4). The
+    carry perturbs every float input (float x + c*0 is NOT constant-folded;
+    PROFILE.md methodology) and the full output reduces into the carry so XLA
+    can neither hoist the loop-invariant step nor DCE it."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def body(c, _):
+        b = jax.tree.map(
+            lambda x: x + c.astype(x.dtype) * 0
+            if jnp.issubdtype(x.dtype, jnp.inexact) else x,
+            batch,
+        )
+        out = step(state, b)
+        tot = sum(
+            jnp.sum(v).astype(jnp.float32)
+            for v in jax.tree.leaves(out)
+            if jnp.issubdtype(v.dtype, jnp.inexact)
+        )
+        return c + tot * 0 + 1.0, None
+
+    @jax.jit
+    def run_k(c0):
+        c, _ = lax.scan(body, c0, None, length=K)
+        return c
+
+    float(run_k(jnp.float32(0.0)))  # compile + warm
+    t = median_sync_time(lambda: float(run_k(jnp.float32(0.0))), reps=reps)
+    return round(t / K * 1e3, 1)
+
+
 def bench_eval(exp_factory, overhead_s):
     import jax
     import jax.numpy as jnp
@@ -125,13 +161,23 @@ def bench_eval(exp_factory, overhead_s):
     raw = median_sync_time(lambda: float(jnp.sum(step(state, batch)["scores"])))
     net = max(raw - overhead_s, 1e-9)
     flops = _xla_flops(step, state, batch)
-    return dict(
+    r = dict(
         fps=round(BATCH / net, 2),
         ms_per_batch=round(net * 1e3, 1),
         ms_per_batch_raw=round(raw * 1e3, 1),
         xla_flops_per_batch=flops,
         mfu_pct=_mfu(flops, net),
     )
+    # validate the overhead subtraction when the budget allows: one extra
+    # scan-of-K compile + 3 reps of K chained steps
+    if _left() > 90 + 3 * 8 * raw:
+        try:
+            r["ms_per_batch_pipelined"] = pipelined_ms_per_step(
+                step, state, batch
+            )
+        except Exception as e:  # noqa: BLE001 — diagnostic, never fatal
+            r["ms_per_batch_pipelined"] = f"failed: {type(e).__name__}"[:80]
+    return r
 
 
 def bench_train(exp_factory, overhead_s):
@@ -352,13 +398,17 @@ def main():
         return r, {"metric": "distill_train_lidar_to_camera_sec_per_it",
                    "value": r["sec_per_it"], "unit": "s/it"}
 
+    # distill runs FIRST among the secondary metrics: it is the namesake
+    # workload and went 4 rounds without a driver-captured number because it
+    # sat last in this list (VERDICT r4 next-round #2); lidar/fusion train
+    # are the metrics that now risk the budget tail.
     jobs = [
+        ("distill_train_lidar_to_camera", distill_metric, "distill", None, 240),
         ("lidar_eval", eval_metric, "lidar", lidar_exp, 120),
         ("fusion_eval", eval_metric, "fusion", fusion_exp, 120),
         ("camera_train", train_metric, "camera", camera_exp, 120),
         ("lidar_train", train_metric, "lidar", lidar_exp, 180),
         ("fusion_train", train_metric, "fusion", fusion_exp, 180),
-        ("distill_train_lidar_to_camera", distill_metric, "distill", None, 240),
     ]
     for key, fn, name, factory, floor_s in jobs:
         if _left() < floor_s:
