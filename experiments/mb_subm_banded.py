@@ -1,5 +1,13 @@
 """Case-BANDED 3-view subm table vs production, on REALISTIC topologies.
 
+RESULT (run 2026-08-20 on the attached v5e, recorded in PROFILE.md r5):
+banded LOST everywhere that matters — down2 70.2 vs 29.7 ms, down3 45.9
+vs 22.3, s2 50.2 vs 25.3, s3 33.8 vs 17.9; s0 13.97 vs 14.48 (noise).
+The banded production paths and their env knobs were deleted; the local
+`banded()` / `interleaved_cv()` formulations below are self-contained so
+the experiment remains re-runnable for the subm stages (`bench_down`'s
+env-knob A/B is obsolete — the production down conv is select-only now).
+
 The r3/r4 case-view rule-outs used the case-INTERLEAVED layout
 (idx = 3·row + case), which dilutes per-offset row locality for EVERY
 row: consecutive sites land 3 rows apart even when all of them are

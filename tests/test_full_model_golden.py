@@ -45,6 +45,8 @@ from tests.test_torch_import_full import build_reference_state_dict  # noqa: E40
 
 
 def T(a):
+    if isinstance(a, torch.Tensor):
+        return a  # pass through requires-grad leaves (backward golden)
     return torch.from_numpy(np.ascontiguousarray(np.asarray(a, np.float32)))
 
 
@@ -331,7 +333,12 @@ def _lidar_batch(cfg, n=600, seed=3):
     return out
 
 
-def test_full_model_matches_torch_replica():
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=1)
+def _golden_case():
+    """Shared (cfg, state dict, batch) for the forward AND backward goldens."""
     from __graft_entry__ import _synth_batch
 
     base = tiny_model()
@@ -345,12 +352,17 @@ def test_full_model_matches_torch_replica():
                               lidar_encoder=lc)
     rng = np.random.RandomState(7)
     sd = build_reference_state_dict(cfg, rng=rng)
-    params, stats = convert_state_dict(sd, cfg)
 
     batch = _synth_batch(cfg, B=1, seed=3)
     batch.update(_lidar_batch(cfg))
     H, W = cfg.camera_encoder.final_dim
     batch["mats"] = _rich_mats(1, cfg.camera_encoder.num_cams, H, W)
+    return cfg, sd, batch
+
+
+def test_full_model_matches_torch_replica():
+    cfg, sd, batch = _golden_case()
+    params, stats = convert_state_dict(sd, cfg)
 
     # ---- torch replica, stage by stage -----------------------------------
     with torch.no_grad():
@@ -411,3 +423,91 @@ def test_full_model_matches_torch_replica():
                 nchw(r), rtol=1e-3, atol=3e-3,
                 err_msg=f"head task{tid}/{name}",
             )
+
+
+def test_full_model_backward_matches_torch_replica():
+    """Composed GRADIENT golden (VERDICT r4 next-round #8).
+
+    The forward seams are pinned above; the backward seams — our custom
+    sparse-conv VJPs composed across conv_input → res blocks → down convs →
+    height fold, then through fusion/BEV/head autodiff — were only per-op
+    tested. Here one scalar loss (Σ mean(h²) over every head tensor; layout-
+    independent, identical on both sides) is differentiated end-to-end
+    against the torch replica, and the grads are compared on three params
+    chosen to span the longest custom-VJP chains:
+
+      * conv_input kernel — its grad flows back through EVERY chunked
+        sparse-conv VJP in the encoder;
+      * depth_net kernel — through the LSS pooling scatter-add backward;
+      * head shared_conv kernel — plain autodiff control.
+
+    Torch grads are mapped into our kernel layouts with the SAME importer
+    transforms used for weights (linear permutations, so grads transform
+    identically). BN stays in eval mode (running stats) on both sides.
+    """
+    cfg, sd, batch = _golden_case()
+    from unidistill_tpu.training import torch_import as ti
+
+    GRAD_KEYS = (
+        "lidar_encoder.backbone_3d.conv_input.0.weight",
+        "camera_encoder.backbone.depth_net.0.weight",
+        "det_head.dense_head.shared_conv.0.weight",
+    )
+    sd2 = dict(sd)
+    leaves = {}
+    for k in GRAD_KEYS:
+        t = torch.from_numpy(np.asarray(sd[k], np.float32).copy())
+        t.requires_grad_(True)
+        sd2[k] = t
+        leaves[k] = t
+
+    t_lidar = torch_lidar_forward(
+        sd2, batch["voxel_feats"][0], batch["voxel_coords"][0], cfg.grid_size
+    )
+    t_cam = torch_camera_forward(sd2, batch["imgs"], batch["mats"],
+                                 cfg.camera_encoder)
+    t_fused = torch_fusion_forward(sd2, t_lidar, t_cam)
+    t_bev = torch_bev_backbone_forward(sd2, t_fused, cfg.bev_encoder)
+    t_heads = torch_head_forward(sd2, t_bev, cfg)
+    loss_t = sum(h.pow(2).mean() for out in t_heads for h in out.values())
+    loss_t.backward()
+    loss_t = loss_t.detach()
+    tg = {k: leaves[k].grad.detach().numpy() for k in GRAD_KEYS}
+
+    params, stats = convert_state_dict(sd, cfg)
+    model = BEVFusionCenterHead(cfg)
+    kw = model_inputs(jax.tree.map(jnp.asarray, batch), cfg, training=False)
+
+    def loss_fn(p):
+        out = model.apply({"params": p, "batch_stats": stats}, **kw,
+                          train=False)
+        return sum(
+            jnp.mean(jnp.square(h))
+            for task in out["multi_head_features"]
+            for h in task.values()
+        )
+
+    loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4,
+                               err_msg="composed loss")
+
+    ours = {
+        GRAD_KEYS[0]: np.asarray(
+            grads["lidar_encoder"]["backbone_3d"]["conv_input"]["kernel"]
+        ),
+        GRAD_KEYS[1]: np.asarray(
+            grads["camera_encoder"]["depth_net"]["kernel"]
+        ),
+        GRAD_KEYS[2]: np.asarray(grads["det_head"]["shared_conv"]["kernel"]),
+    }
+    theirs = {
+        GRAD_KEYS[0]: ti.spconv3d(tg[GRAD_KEYS[0]], 5, 16),
+        GRAD_KEYS[1]: ti.conv2d(tg[GRAD_KEYS[1]]),
+        GRAD_KEYS[2]: ti.conv2d(tg[GRAD_KEYS[2]]),
+    }
+    for k in GRAD_KEYS:
+        scale = max(np.abs(theirs[k]).max(), 1e-8)
+        np.testing.assert_allclose(
+            ours[k] / scale, theirs[k] / scale, atol=2e-3,
+            err_msg=f"grad {k}",
+        )

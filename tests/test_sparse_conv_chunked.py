@@ -118,7 +118,7 @@ def test_roundtrip_to_dense():
     assert got_occ[:, D:].sum() == 0
 
 
-@pytest.mark.parametrize("mode", ["select", "case_view", "banded"])
+@pytest.mark.parametrize("mode", ["select", "case_view"])
 def test_subm_conv_matches_dense(mode, monkeypatch):
     monkeypatch.setenv("UNIDISTILL_SUBM_MODE", mode)
     rng = np.random.RandomState(1)
@@ -201,7 +201,7 @@ def test_down2_conv_matches_dense(shape):
     assert np.abs(_unfold(out, 6) * (1 - mask)).sum() == 0
 
 
-@pytest.mark.parametrize("mode", ["select", "banded"])
+@pytest.mark.parametrize("mode", ["select", "case_view"])
 def test_subm_vjp_matches_dense(mode, monkeypatch):
     monkeypatch.setenv("UNIDISTILL_SUBM_MODE", mode)
     rng = np.random.RandomState(3)

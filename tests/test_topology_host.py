@@ -233,14 +233,13 @@ def test_s0_slot_cap_matches_device_truncation():
             np.testing.assert_array_equal(t_nat[k], t_np[k], err_msg=k)
 
 
-@pytest.mark.parametrize("banded", ["0", "1"])
-def test_down_v2_matches_v1_and_planner_occ(banded, monkeypatch):
+def test_down_v2_matches_v1_and_planner_occ():
     """down2_conv_v2 (13-z A-only windows + planner occupancy) must equal
     down2_conv_chunked (A/B windows + in-conv occupancy) in values, out
     occupancy, and gradients; and the planner's occ2 must equal the
-    occupancy the v1 conv derives on-device. Parametrized over the
-    case-banded gather mode (forward 3-band + backward 6-band views)."""
-    monkeypatch.setenv("UNIDISTILL_DOWN_BANDED", banded)
+    occupancy the v1 conv derives on-device. (The case-banded gather mode
+    this was once parametrized over lost its on-chip A/B 2.1-2.4× and was
+    deleted — PROFILE.md r5.)"""
     import jax
     import jax.numpy as jnp
 

@@ -402,33 +402,8 @@ def _case_view(tab, B, C):
     return v.reshape(B, Sp1 * 3, 6 * C)
 
 
-def _banded_view(tab, B, C):
-    """Window table [B, S+1, 10·C] → case-BANDED 6-z views
-    [B, 3·(S+1), 6·C]: band c holds the case-c resolution of every row, so
-    one gather with index case·(S+1)+row fetches the final subm window.
-
-    Unlike `_case_view` (idx = 3·row+case), consecutive case-0 rows stay
-    array-adjacent — and on realistic clouds 94-96% of s2/s3 neighbor HITS
-    are case 0 (experiments/mb_subm_banded.py), so the per-offset gather
-    stream keeps its monotone locality (the property the interleaved
-    layout's ~2× slowdown above ~80 MB was traced to, PROFILE.md r4).
-    Misses (idx=S, case=2 per topology_host._resolve) land on row S of
-    band 2, which — like row S of every band — is all-zero."""
-    Sp1 = tab.shape[1]
-    v0 = tab[:, :, 0:6 * C]
-    v1 = tab[:, :, 4 * C:10 * C]
-    v2 = jnp.concatenate(
-        [jnp.zeros_like(tab[:, :, 0:4 * C]), tab[:, :, 0:2 * C]], axis=2
-    )
-    return jnp.concatenate([v0, v1, v2], axis=1)
-
-
 def _fetch_windows(tab, tabv, mode, tables, oo, b, S, C):
     """Per-sample window fetch [8, S, 6C] under the chosen subm mode."""
-    if mode == "banded":
-        i = (tables.nbr_case[b][oo] * (S + 1)
-             + tables.nbr_idx[b][oo]).reshape(-1)
-        return rowgather(tabv[b], i).reshape(8, S, 6 * C)
     if mode == "case_view":
         i3 = (tables.nbr_idx[b][oo] * 3
               + tables.nbr_case[b][oo]).reshape(-1)
@@ -497,23 +472,22 @@ def _subm_mode(S: int, C: int) -> str:
                     only while the table stays under the ~80 MB locality
                     cliff (measured r3: 2× win at 75.5 MB, 2× loss at
                     92 MB — interleaving dilutes per-offset locality).
-      "banded"    — select-free: gather 6C rows from the case-BANDED
-                    table (`_banded_view`, idx = case·(S+1)+row), which
-                    keeps the dominant case-0 stream monotone (94-96% of
-                    hits on realistic clouds).
 
-    UNIDISTILL_SUBM_MODE forces a mode (perf experiments); the legacy
-    UNIDISTILL_SUBM_CASE_VIEW=0/1 still forces select/case_view."""
+    A third "banded" mode (case-CONCATENATED table, idx = case·(S+1)+row,
+    built to keep the dominant case-0 stream monotone) was A/B'd on the
+    chip at realistic planner tables in r5 and LOST 1.9-2.4× at s2/s3/down
+    (only ~3% better at s0, within noise) — crossing bands on the 4-6%
+    non-case-0 rows breaks the prefetch stream harder than interleaving
+    does; table in PROFILE.md r5, experiment mb_subm_banded.py. Deleted.
+
+    UNIDISTILL_SUBM_MODE forces a mode (tests/perf experiments only — the
+    auto rule below is the measured production policy)."""
     import os
 
     env = os.environ.get("UNIDISTILL_SUBM_MODE", "auto")
-    if env in ("select", "case_view", "banded"):
+    if env in ("select", "case_view"):
         return env
-    legacy = os.environ.get("UNIDISTILL_SUBM_CASE_VIEW", "auto")
-    if legacy in ("0", "1"):
-        return "case_view" if legacy == "1" else "select"
-    # r3-measured rule (banded pending its TPU A/B — experiments/
-    # mb_subm_banded.py): case-view under the ~80 MB cliff, else select.
+    # r3-measured rule: case-view under the ~80 MB cliff, select above.
     return "case_view" if (S + 1) * 18 * C * 2 < 78 * 2**20 else "select"
 
 
@@ -552,8 +526,7 @@ def _subm_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
     offs = np.asarray(_OFFS8)
     oo = (8 - offs) if reverse else offs          # gather-side offsets
     mode = _subm_mode(S, C)
-    tabv = (_banded_view(tab, B, C) if mode == "banded"
-            else _case_view(tab, B, C) if mode == "case_view" else None)
+    tabv = _case_view(tab, B, C) if mode == "case_view" else None
     accs = []
     for b in range(B):
         win = _fetch_windows(tab, tabv, mode, tables, oo, b, S, C)
@@ -618,8 +591,7 @@ def _subm_bwd(dtype_str, res, g):
     offs = np.asarray(_OFFS8)
     oo = 8 - offs                                  # gather-side offsets
     mode = _subm_mode(S, co)
-    tabv = (_banded_view(tab_g, B, co) if mode == "banded"
-            else _case_view(tab_g, B, co) if mode == "case_view" else None)
+    tabv = _case_view(tab_g, B, co) if mode == "case_view" else None
     daccs = []
     dW8n = jnp.zeros((8, 4 * C, 6 * co), jnp.float32)
     for b in range(B):
@@ -1072,37 +1044,12 @@ def _extract_down_window(g, case, C):
     return jnp.where(c == 0, w0, jnp.where(c == 1, w1, w2))
 
 
-def _down_banded() -> bool:
-    """Case-banded gathers for the down conv (same locality argument as
-    `_subm_mode` "banded": case-0 dominates on realistic planner tables and
-    misses share one zero row). UNIDISTILL_DOWN_BANDED=0/1 forces; auto
-    pending the TPU A/B (experiments/mb_subm_banded.py --down)."""
-    import os
-
-    env = os.environ.get("UNIDISTILL_DOWN_BANDED", "auto")
-    if env in ("0", "1"):
-        return env == "1"
-    return False
-
-
-def _banded_down_view(tab13, B, C):
-    """13-z window table [B, S+1, 13C] → case-banded [B, 3·(S+1), 9C]
-    (band c = `_extract_down_window`'s case-c view; row S of every band is
-    zero, where misses (idx=S, case=2) land)."""
-    v0 = tab13[:, :, 0:9 * C]
-    v1 = tab13[:, :, 4 * C:13 * C]
-    v2 = jnp.concatenate(
-        [jnp.zeros_like(tab13[:, :, 0:4 * C]), tab13[:, :, 0:5 * C]], axis=2
-    )
-    return jnp.concatenate([v0, v1, v2], axis=1)
-
-
-def _down2_v2_windows(tab13_b, sites, b, C, banded_b=None):
+def _down2_v2_windows(tab13_b, sites, b, C):
+    # A case-banded 13-z variant of this gather (band per case, one 9C
+    # gather, no select) was A/B'd on-chip at realistic planner tables and
+    # lost 2.1-2.4× (down2 70 vs 30 ms, down3 46 vs 22 — PROFILE.md r5,
+    # experiments/mb_subm_banded.py); the select path below is the winner.
     S2 = sites.colkey.shape[1]
-    if banded_b is not None:
-        Sp1 = banded_b.shape[0] // 3
-        i = (sites.case_a[b] * Sp1 + sites.nbr_a[b]).reshape(-1)
-        return rowgather(banded_b, i).reshape(9, S2, 9 * C)
     g = rowgather(tab13_b, sites.nbr_a[b].reshape(-1))
     return _extract_down_window(
         g, sites.case_a[b].reshape(-1), C
@@ -1117,12 +1064,10 @@ def _down2_v2_impl(feats, occ_bits, colkey, chunk, valid, weight, bias,
     dt = jnp.dtype(dtype_str)
     tab = _window_table(feats, occ_bits, colkey, chunk, valid, False, dt,
                         rowz=13)
-    tabb = _banded_down_view(tab, B, C) if _down_banded() else None
     W9 = _band_weight(_w_zyx(weight).astype(dt), C, co, 9, 2, dt)
     accs = [
         jnp.einsum("osw,owk->osk",
-                   _down2_v2_windows(tab[b], sites, b, C,
-                                     None if tabb is None else tabb[b]),
+                   _down2_v2_windows(tab[b], sites, b, C),
                    W9, preferred_element_type=dt).sum(0)
         for b in range(B)
     ]
@@ -1185,23 +1130,6 @@ def _down2_v2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, g):
           if (zi + 1 - kz) % 2 == 0]
     gtabf = gtab.reshape(B * (S2 + 1), ROWZ * co)
     boff2 = (jnp.arange(B, dtype=jnp.int32) * (S2 + 1))[:, None]
-    banded = _down_banded()
-    if banded:
-        # 6-band g-window view: band j/2 holds GRP lanes j·co:(j+3)·co of
-        # every row, GRP = [0³ᶜᵒ | gtab row], j ∈ {0,2,4,6,8,10} — the six
-        # static slices the (spar, case) select below picks from. One 3co
-        # gather replaces the 10co gather + 6-pass select; row S2 of every
-        # band is zero (reverse-miss target).
-        z3 = jnp.zeros_like(gtab[:, :, :3 * co])
-        gbf = jnp.concatenate([
-            z3,
-            jnp.concatenate([z3[:, :, :co], gtab[:, :, 0:2 * co]], axis=2),
-            gtab[:, :, co:4 * co],
-            gtab[:, :, 3 * co:6 * co],
-            gtab[:, :, 5 * co:8 * co],
-            gtab[:, :, 7 * co:10 * co],
-        ], axis=1).reshape(B * 6 * (S2 + 1), 3 * co)
-        boff6 = (jnp.arange(B, dtype=jnp.int32) * 6 * (S2 + 1))[:, None]
     N = B * S
     wT = jnp.swapaxes(w, 3, 4)  # [kz, ky, kx, co, C]
     x_flat = zmask(occ_bits, C, feats.astype(dt)).reshape(N, CHUNK * C)
@@ -1212,24 +1140,19 @@ def _down2_v2_bwd(spatial_shape, out_spatial_shape, dtype_str, res, g):
         rv = sites.rev[:, o]
         row, case = rv >> 2, rv & 3
         dq = jnp.where(case == 0, 0, jnp.where(case == 1, 4, -4))
-        if banded:
-            bi = 2 + spar + dq // 2        # band index ∈ 0..5
-            i6 = (bi * (S2 + 1) + row + boff6).reshape(-1)
-            win3 = rowgather(gbf, i6)      # [B·S, 3·co]
-        else:
-            gr = rowgather(gtabf, (row + boff2).reshape(-1))  # [B·S, 10·co]
-            # per-row window base q ∈ {−3,−1,1,3,5,7}: with a 3co zero
-            # prefix every (spar, case) 3-position window is one of SIX
-            # static 3co lane slices — a 6-way select replaces the former
-            # 10-position predicated accumulation (≤30 co passes/offset → 6)
-            base_q = (1 + 2 * spar + dq).reshape(-1)
-            row_ok = (row < S2).reshape(-1)
-            grp = jnp.concatenate([jnp.zeros((N, 3 * co), dt), gr], axis=1)
-            sel = base_q + 3  # slice start /co ∈ {0, 2, 4, 6, 8, 10}
-            win3 = jnp.zeros((N, 3 * co), dt)
-            for j in (0, 2, 4, 6, 8, 10):
-                m = ((sel == j) & row_ok)[:, None]
-                win3 = jnp.where(m, grp[:, j * co:(j + 3) * co], win3)
+        gr = rowgather(gtabf, (row + boff2).reshape(-1))  # [B·S, 10·co]
+        # per-row window base q ∈ {−3,−1,1,3,5,7}: with a 3co zero
+        # prefix every (spar, case) 3-position window is one of SIX
+        # static 3co lane slices — a 6-way select replaces the former
+        # 10-position predicated accumulation (≤30 co passes/offset → 6)
+        base_q = (1 + 2 * spar + dq).reshape(-1)
+        row_ok = (row < S2).reshape(-1)
+        grp = jnp.concatenate([jnp.zeros((N, 3 * co), dt), gr], axis=1)
+        sel = base_q + 3  # slice start /co ∈ {0, 2, 4, 6, 8, 10}
+        win3 = jnp.zeros((N, 3 * co), dt)
+        for j in (0, 2, 4, 6, 8, 10):
+            m = ((sel == j) & row_ok)[:, None]
+            win3 = jnp.where(m, grp[:, j * co:(j + 3) * co], win3)
         # fold (u, zi, kz) into one [3co, 4C] weight: lane u·co+j maps to
         # out lane zi·C+c via wT[kz(u,zi)] where kz = zi+1−2u
         Wc = jnp.zeros((3, co, CHUNK, C), dt)
