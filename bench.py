@@ -176,7 +176,9 @@ def bench_eval(exp_factory, overhead_s):
                 step, state, batch
             )
         except Exception as e:  # noqa: BLE001 — diagnostic, never fatal
-            r["ms_per_batch_pipelined"] = f"failed: {type(e).__name__}"[:80]
+            r["ms_per_batch_pipelined"] = (
+                f"failed: {type(e).__name__}: {e}"[:160]
+            )
     return r
 
 
