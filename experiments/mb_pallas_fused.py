@@ -45,17 +45,21 @@ from unidistill_tpu.ops.sparse_conv_chunked import (
 TS = 512  # sites per tile; all production caps are multiples of 512
 
 
-def _fused_kernel(C: int, co: int, g_ref, case_ref, w_ref, out_ref):
+def _fused_kernel(C: int, co: int, g_ref, oh_ref, w_ref, out_ref):
+    # case arrives as a one-hot bf16 [TS, 4] block (sublane=TS): an int32
+    # [1,1,TS] block violates the (8,128) tiling rule, and any per-lane case
+    # layout can't broadcast against the [TS, 10C] rows without a relayout.
+    # Multiply-add select instead of where: 3 VPU passes over [TS, 6C].
     o = pl.program_id(2)
     blk = g_ref[0, 0]                       # [TS, 10C] bf16
-    case = case_ref[0, 0][:, None]          # [TS, 1] int32
+    oh = oh_ref[0, 0]                       # [TS, 4] bf16 one-hot(case)
     w0 = blk[:, 0:6 * C]
     w1 = blk[:, 4 * C:10 * C]
     w2 = jnp.concatenate(
         [jnp.zeros((blk.shape[0], 4 * C), blk.dtype), blk[:, 0:2 * C]],
         axis=1,
     )
-    win = jnp.where(case == 0, w0, jnp.where(case == 1, w1, w2))
+    win = oh[:, 0:1] * w0 + oh[:, 1:2] * w1 + oh[:, 2:3] * w2
     prod = jnp.dot(win, w_ref[o], preferred_element_type=jnp.float32)
 
     @pl.when(o == 0)
@@ -67,9 +71,9 @@ def _fused_kernel(C: int, co: int, g_ref, case_ref, w_ref, out_ref):
         out_ref[0] = out_ref[0] + prod
 
 
-def fused_offsets(g, case, W8, C, co):
-    """g [B, 8, S, 10C] bf16, case [B, 8, S] int32, W8 [8, 6C, 4co] bf16
-    -> [B, S, 4co] f32 = sum_o select(case_o, g_o) @ W8[o]."""
+def fused_offsets(g, case_oh, W8, C, co):
+    """g [B, 8, S, 10C] bf16, case_oh [B, 8, S, 4] bf16 one-hot,
+    W8 [8, 6C, 4co] bf16 -> [B, S, 4co] f32 = sum_o select(case_o, g_o) @ W8[o]."""
     B, O, S, _ = g.shape
     assert S % TS == 0, S
     kern = functools.partial(_fused_kernel, C, co)
@@ -80,7 +84,7 @@ def fused_offsets(g, case, W8, C, co):
         in_specs=[
             pl.BlockSpec((1, 1, TS, 10 * C), lambda b, t, o: (b, o, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TS), lambda b, t, o: (b, o, t),
+            pl.BlockSpec((1, 1, TS, 4), lambda b, t, o: (b, o, t, 0),
                          memory_space=pltpu.VMEM),
             # whole weight stack resident in VMEM (constant block across the
             # grid — DMA'd once); the kernel picks w_ref[o]
@@ -90,7 +94,7 @@ def fused_offsets(g, case, W8, C, co):
         out_specs=pl.BlockSpec((1, TS, 4 * co), lambda b, t, o: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, 4 * co), jnp.float32),
-    )(g, case, W8)
+    )(g, case_oh, W8)
 
 
 def fused_subm(feats, occ_bits, ck, ch, vd, w, tables, C, co, dt):
@@ -105,8 +109,13 @@ def fused_subm(feats, occ_bits, ck, ch, vd, w, tables, C, co, dt):
         gs.append(rowgather(tab[b], idx).reshape(8, S, 10 * C))
         cs.append(tables.nbr_case[b][offs])
     g = jnp.stack(gs)                               # [B, 8, S, 10C]
+    # one-hot bf16 [B, 8, S, 4] — in production this is a host-planner
+    # output (nbr_case is host numpy, built once per frame per stage); in
+    # this harness nbr_case arrives traced (scan perturbation), so build it
+    # in-graph — a [B,8,S]->[B,8,S,4] cast, ~3 MB, noise vs the select pass
     case = jnp.stack(cs).astype(jnp.int32)          # [B, 8, S]
-    acc = fused_offsets(g, case, W6[offs].astype(dt), C, co).astype(dt)
+    oh = (case[..., None] == jnp.arange(4, dtype=jnp.int32)).astype(dt)
+    acc = fused_offsets(g, oh, W6[offs].astype(dt), C, co).astype(dt)
     gc = tab[:, :S, 0:6 * C].reshape(B * S, 6 * C)
     acc = acc + jnp.einsum("bw,wk->bk", gc, W6[4],
                            preferred_element_type=dt).reshape(B, S, 4 * co)
