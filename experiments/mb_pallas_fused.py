@@ -1,4 +1,7 @@
-"""Pallas fused select+GEMM for the subm conv offsets path (r5 lever).
+"""Pallas fused select+GEMM for the subm conv offsets path (r5 lever —
+MEASURED AND RULED OUT: fused loses 2.2-4.4x to the production select
+path at s0/s2/s3; chip A/B ledger at experiments/logs/r5_pallas_ab.log,
+analysis in PROFILE.md "Round-5 Pallas fused select+GEMM").
 
 The r4/r5 rule-outs closed the XLA-level case-layout space: the production
 path is gather(10C rows) -> 3-way case select (select_n, ~92 ms/step) ->
@@ -137,51 +140,50 @@ def smoke():
     print("pallas smoke:", float(out[0, 0]), "(want 5.0)", flush=True)
 
 
+def run_one(stage, variant):
+    """One (stage, variant) measurement in its own process, printing a single
+    RESULT line. The axon relay occasionally loses an in-flight RPC, leaving
+    the client futex-blocked forever (r5: two hangs, one mid-compile, one on
+    the first tiny jit) — per-pair subprocesses under `timeout` bound the
+    damage to one measurement."""
+    ovh = overhead()
+    t0 = time.time()
+    feats, occ_bits, ck, ch, vd, tb, w, S, C = realistic_stage_inputs(stage)
+    co = C
+    dt = jnp.bfloat16
+    print(f"{stage}: S={S} C={C} ovh {ovh*1e3:.1f} ms "
+          f"(tables {time.time()-t0:.0f}s)", flush=True)
+    argz = (feats, occ_bits, ck, ch, vd, w, tb)
+
+    def prod(a, c):
+        return _subm_impl(a[0] + c.astype(dt) * 0, a[1], a[2], a[3],
+                          a[4], a[5], None, a[6], "bfloat16")
+
+    def fused(a, c):
+        return fused_subm(a[0] + c.astype(dt) * 0, a[1], a[2], a[3],
+                          a[4], a[5], a[6], C, co, dt)
+
+    op = {"prod": prod, "fused": fused}[variant]
+    t0 = time.time()
+    f = jax.jit(scan_op(op))
+    t = timed(f, *argz, ovh=ovh)
+    # correctness: fused vs prod on the same inputs, single application
+    derr = 0.0
+    if variant == "fused":
+        y = jax.jit(lambda a: fused(a, jnp.float32(0.0)))(argz)
+        r = jax.jit(lambda a: prod(a, jnp.float32(0.0)))(argz)
+        derr = float(jnp.max(jnp.abs(
+            y.astype(jnp.float32) - r.astype(jnp.float32))))
+    print(f"RESULT {stage} {variant}: {t*1e3:7.2f} ms/conv "
+          f"(maxerr {derr:.2e}, total {time.time()-t0:.0f}s)", flush=True)
+
+
 def main():
-    args = sys.argv[1:] or ["smoke", "s2", "s3", "s0"]
+    args = sys.argv[1:] or ["smoke"]
+    if args[0] == "one":
+        return run_one(args[1], args[2])
     if "smoke" in args:
         smoke()
-    stages = [a for a in args if a.startswith("s") and a != "smoke"]
-    if not stages:
-        return
-    ovh = overhead()
-    print(f"overhead {ovh*1e3:.1f} ms", flush=True)
-    for stage in stages:
-        t0 = time.time()
-        feats, occ_bits, ck, ch, vd, tb, w, S, C = \
-            realistic_stage_inputs(stage)
-        co = C
-        dt = jnp.bfloat16
-        print(f"{stage}: S={S} C={C} (tables {time.time()-t0:.0f}s)",
-              flush=True)
-        argz = (feats, occ_bits, ck, ch, vd, w, tb)
-
-        def prod(a, c):
-            return _subm_impl(a[0] + c.astype(dt) * 0, a[1], a[2], a[3],
-                              a[4], a[5], None, a[6], "bfloat16")
-
-        def fused(a, c):
-            return fused_subm(a[0] + c.astype(dt) * 0, a[1], a[2], a[3],
-                              a[4], a[5], a[6], C, co, dt)
-
-        ref = None
-        for vn, op in (("prod(auto)", prod), ("pallas_fused", fused)):
-            t0 = time.time()
-            try:
-                f = jax.jit(scan_op(op))
-                t = timed(f, *argz, ovh=ovh)
-                y = jax.jit(lambda a, op=op: op(a, jnp.float32(0.0)))(argz)
-                if ref is None:
-                    ref, derr = y, 0.0
-                else:
-                    derr = float(jnp.max(jnp.abs(
-                        y.astype(jnp.float32) - ref.astype(jnp.float32))))
-                print(f"  {stage} {vn:14s}: {t*1e3:7.2f} ms/conv "
-                      f"(maxerr {derr:.2e}, compile {time.time()-t0:.0f}s)",
-                      flush=True)
-            except Exception as e:  # noqa: BLE001
-                print(f"  {stage} {vn:14s}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
