@@ -26,7 +26,7 @@ def _mats(rng, B, N, Hc, Wc, sweep_shift=0.0):
 
 def test_multisweep_concat_matches_single_sweeps():
     ccfg = tiny_model().camera_encoder
-    B, S, N = 2, 3, ccfg.num_cams
+    B, S, N = 1, 2, ccfg.num_cams  # smallest shapes proving concat semantics
     Hc, Wc = ccfg.final_dim
     rng = np.random.RandomState(0)
     imgs = rng.randn(B, S, N, Hc, Wc, 3).astype(np.float32)

@@ -185,6 +185,8 @@ def test_batched_ops_match_per_sample():
     )
 
 
+@pytest.mark.slow  # 22 s — equivalence of two NON-production alternates; the
+# production chunked path keeps its own dense oracles in the fast suite
 def test_column_table_convs_match_sort_based():
     """zslot/column-table taps (sort-free) == sort-based batched ops."""
     from unidistill_tpu.ops.sparse_conv import (

@@ -148,7 +148,12 @@ def test_subm_conv_matches_dense(mode, monkeypatch):
     assert np.abs(got * (1 - mask)).sum() == 0
 
 
-@pytest.mark.parametrize("shape", [(9, 10, 12), (10, 10, 12)])
+@pytest.mark.parametrize("shape", [
+    # odd-depth case: ~15 s of its own compiles, redundant-in-fast with the
+    # even-depth regression below (which also pins the phantom-site rule)
+    pytest.param((9, 10, 12), marks=pytest.mark.slow),
+    (10, 10, 12),
+])
 def test_down2_conv_matches_dense(shape):
     # (10, ...) covers EVEN input depth: an input voxel at z = D-1 falls in
     # the receptive field of out z = D2 (outside the grid) and must NOT

@@ -91,6 +91,8 @@ def test_keymatch_grid_edges_masked():
     np.testing.assert_allclose(np.asarray(out[0, 1]), feats[0, 1], atol=1e-3)
 
 
+@pytest.mark.slow  # 18 s — backward of a retained ALTERNATE impl (production
+# is ops/sparse_conv_chunked); its forward equivalence stays fast above
 def test_keymatch_grad_features_and_weight():
     B, V = 1, 256
     shape = (8, 24, 24)
