@@ -235,6 +235,8 @@ def test_bev_pool_pallas_scatter_matches_xla():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # ~22 s (two big compiles); the batched path keeps fast
+# correctness coverage via test_voxelize_host.test_host_matches_device
 def test_voxelize_batched_matches_vmapped():
     """Flat-global batched voxelizer == vmapped per-sample voxelizer
     (the eval/train steps use the batched path; PROFILE.md)."""

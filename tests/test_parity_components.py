@@ -48,6 +48,8 @@ def test_pointpillar_scatter():
     assert np.abs(np.asarray(out)).sum() == np.abs(np.asarray(feats[:4])).sum()
 
 
+@pytest.mark.slow  # ~21 s of compile for a smoke of a component every exp
+# config turns OFF (ref base_nuscenes_cfg SCConv=False); parity-only
 def test_scbottleneck_runs():
     m = SCBottleneck(planes=32, dtype=jnp.float32)
     x = jnp.ones((1, 16, 16, 32))
